@@ -1,0 +1,142 @@
+"""Wavefront equivalent of CLSuperPathTracer / CLSuperPathTracer_lmem.
+
+Reference: CLSuperPathTracer/pathtracer.ocl - adds squares, triangles
+(Moller-Trumbore), multiple point lights with inverse-square falloff and
+soft shadows, 5-material shading; scene from text files.  The _lmem variant
+(SURVEY.md section 2 #6) differs only in work-group caching, which has no TPU
+analogue (scene constants are VMEM-resident automatically), and in an
+accidental aliasing of the running hit distance into the shadow trace
+(CLSuperPathTracer_lmem/pathtracer.ocl:178), which is not reproduced.
+
+Estimator details preserved (pathtracer.ocl:139-218):
+ * per light: jittered direction, lambertian factor, hard shadow test with an
+   *uncapped* shadow ray (a hit beyond the light still occludes, ocl:180),
+   inverse-square clamp min(I/d^2, 1)
+ * total_illumination accumulates ACROSS bounces without reset (declared
+   outside the loop, ocl:153), is clamped to 1 and divided by 4 each bounce
+ * materials: 1 floor checker, 3 diffuse (2,3,2), 4 facing-ratio (scalar
+   broadcast onto rgb), 2 mirror bounce (dead code on the shipped scenes -
+   spheres are material 3 here)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rngmod
+from ..core.quirks import Quirks, DEFAULT
+from ..core.camera import make_camera, primary_rays
+from ..ops.intersect import SceneArrays, prep_scene, trace_ray, any_hit
+from ..scene.scene import Scene
+from . import common as C
+
+
+def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
+                 s, ii, jj, ray_id):
+    """One camera sample per pixel on the full scene; returns (R, 3)."""
+    r1, r2, r3, r4 = rngmod.randn_draws(key, ray_id, C.SITE_CAMERA, 4)
+    cam = make_camera(z_sign=-1.0)
+    o, d = primary_rays(cam, ii, jj, r1, r2, r3, r4)
+
+    R = ray_id.shape
+    zero3 = jnp.zeros(R + (3,), jnp.float32)
+    state = (
+        jnp.ones(R, bool),         # alive
+        o, d,
+        zero3,                     # colorFact
+        jnp.ones(R, jnp.float32),  # divFact
+        jnp.zeros(R, jnp.float32), # total_illumination (carried across bounces)
+        zero3,                     # result
+    )
+    nlights = int(scn.lights.shape[0])
+
+    def step(b, state):
+        alive, o, d, color_fact, div, total_illum, result = state
+        tr = trace_ray(o, d, scn, quirks=quirks, sphere_material=3)
+        m = jnp.where(alive, tr.material, -1)
+
+        sky = color_fact + C.sky_color(d[..., 2]) / div[..., None]
+        result = jnp.where((m == 0)[..., None], sky, result)
+
+        x = o + d * tr.t[..., None]
+        shading = alive & (tr.material != 0)
+
+        # light loop (pathtracer.ocl:167-188); static unroll over nlights
+        last_ldir = d  # dummy; overwritten by any light with intensity != 0
+        for i in range(nlights):
+            lp = scn.lights[i, :3]
+            intensity = scn.lights[i, 3]
+            u1, u2 = rngmod.rand2(
+                key, ray_id,
+                C.SITE_LIGHT0 + b * np.uint32(C.SITE_STRIDE_BOUNCE) + np.uint32(i))
+            jitter = jnp.stack([u1, u2, jnp.zeros_like(u1)], axis=-1)
+            ldir = C.normalize(lp + jitter - x)
+            # reference skips lights with intensity == 0 (ocl:171) BEFORE
+            # updating light_dir; scenes ship none, and intensity is a
+            # host-static scalar here, so the draw above matches draw order.
+            lamb = C.dot(ldir, tr.normal)
+            occ = any_hit(x, ldir, scn, quirks=quirks)
+            dist2 = jnp.sum((lp - x) ** 2, axis=-1)
+            contrib = jnp.where(
+                (lamb < 0) | occ, 0.0,
+                lamb * jnp.minimum(intensity / dist2, 1.0))
+            total_illum = jnp.where(shading, total_illum + contrib, total_illum)
+            last_ldir = ldir
+
+        total_illum = jnp.where(shading, jnp.minimum(total_illum, 1.0),
+                                total_illum)
+        total_illum = jnp.where(shading, total_illum / 4.0, total_illum)
+
+        fl = color_fact + C.floor_color(x) * total_illum[..., None] / div[..., None]
+        result = jnp.where((m == 1)[..., None], fl, result)
+
+        df = color_fact + C.DIFFUSE * total_illum[..., None] / div[..., None]
+        result = jnp.where((m == 3)[..., None], df, result)
+
+        # facing ratio: scalar max(0, n.-d)/divFact broadcast onto rgb
+        # (pathtracer.ocl:204 adds a float to a float4)
+        fr = color_fact + (jnp.maximum(0.0, C.dot(tr.normal, -d)) / div)[..., None]
+        result = jnp.where((m == 4)[..., None], fr, result)
+
+        # mirror bounce (dead on shipped scenes; kept for parity, ocl:209-216)
+        bounce = m == 2
+        half = C.reflect(d, tr.normal)
+        spec = C.pow99(C.dot(last_ldir, half) * (total_illum > 0))
+        hl = spec[..., None] * (div[..., None] if quirks.specular_divfact_multiply
+                                else 1.0 / div[..., None])
+        color_fact = jnp.where(bounce[..., None], color_fact + hl, color_fact)
+        o = jnp.where(bounce[..., None], x, o)
+        d = jnp.where(bounce[..., None], half, d)
+        div = jnp.where(bounce, div * 2.0, div)
+        alive = alive & bounce
+        return alive, o, d, color_fact, div, total_illum, result
+
+    final = C.bounce_loop(step, state, max_bounces)
+    alive, _, _, color_fact, _, _, result = final
+    return jnp.where(alive[..., None], color_fact, result)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
+                                             "spp_offset", "spp_total",
+                                             "quirks", "max_bounces"))
+def _render_super_jit(key, scn: SceneArrays, width, height, spp,
+                      spp_offset, spp_total, quirks, max_bounces):
+    sample_fn = functools.partial(sample_super, key, scn, quirks, max_bounces)
+    return C.accumulate_spp(sample_fn, width, height, spp,
+                            spp_offset=spp_offset, spp_total=spp_total)
+
+
+def render_super(key, scene: Scene | SceneArrays, width: int = 512,
+                 height: int = 512, spp: int = 64,
+                 spp_offset: int = 0, spp_total: int | None = None,
+                 quirks: Quirks = DEFAULT, max_bounces: int = C.MAX_BOUNCES):
+    """Render the full scene; returns the pre-ambient float film (H, W, 3)."""
+    scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    if spp_total is None:
+        spp_total = spp
+    return _render_super_jit(key, scn, width, height, spp,
+                             spp_offset, spp_total, quirks, max_bounces)

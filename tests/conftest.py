@@ -1,0 +1,23 @@
+"""Test config: force CPU JAX with a virtual 8-device mesh.
+
+Multi-chip hardware is unavailable in CI; sharding tests run on a
+host-platform mesh (SURVEY.md section 4 implication (4)).
+"""
+import os
+
+# NOTE: in this image the axon TPU plugin ignores JAX_PLATFORMS; the config
+# update below (and JAX_PLATFORM_NAME) is what actually forces CPU.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
