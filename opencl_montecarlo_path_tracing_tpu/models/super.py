@@ -120,14 +120,22 @@ def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
     return jnp.where(alive[..., None], color_fact, result)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
-                                             "spp_offset", "spp_total",
-                                             "quirks", "max_bounces"))
-def _render_super_jit(key, scn: SceneArrays, width, height, spp,
-                      spp_offset, spp_total, quirks, max_bounces):
+def film_super(key, scn: SceneArrays, width, height, spp, spp_offset,
+               spp_total, quirks, max_bounces=C.MAX_BOUNCES):
+    """Unjitted film body (pre-ambient (H, W, 3) float32).
+
+    ``scn`` is a *numpy* SceneArrays whose values are baked into the trace
+    as literals (the key to fusing the primitive scan - see ops/intersect).
+    ``spp_offset`` may be a traced value - the sharded renderer passes
+    axis_index * local_spp (parallel/mesh.py)."""
     sample_fn = functools.partial(sample_super, key, scn, quirks, max_bounces)
     return C.accumulate_spp(sample_fn, width, height, spp,
                             spp_offset=spp_offset, spp_total=spp_total)
+
+
+# compiled-render cache: the scene is a compile-time constant, so jitted
+# programs are cached per (scene fingerprint, render config)
+_COMPILED: dict = {}
 
 
 def render_super(key, scene: Scene | SceneArrays, width: int = 512,
@@ -138,5 +146,12 @@ def render_super(key, scene: Scene | SceneArrays, width: int = 512,
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
     if spp_total is None:
         spp_total = spp
-    return _render_super_jit(key, scn, width, height, spp,
-                             spp_offset, spp_total, quirks, max_bounces)
+    cfg = (scn.fingerprint(), width, height, spp, spp_offset, spp_total,
+           quirks, max_bounces)
+    fn = _COMPILED.get(cfg)
+    if fn is None:
+        fn = jax.jit(lambda k: film_super(k, scn, width, height, spp,
+                                          spp_offset, spp_total, quirks,
+                                          max_bounces))
+        _COMPILED[cfg] = fn
+    return fn(key)

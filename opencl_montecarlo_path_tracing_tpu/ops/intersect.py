@@ -3,15 +3,23 @@
 The reference's TraceRay is a per-ray sequential scan over primitive classes
 (CLSuperPathTracer/pathtracer.ocl:48-137): floor, then the square bitmap,
 then the sphere bitmap, then a Moller-Trumbore loop over triangles, each
-accepting a hit only when strictly closer than the best so far.  Because the
-position tests do not depend on the running distance, that scan is exactly a
-per-class masked min-reduction followed by a class-ordered strict-< merge -
-which is how it is expressed here, as dense (n_rays x n_prims) vector math
-that XLA fuses onto the VPU with no divergent branches.
+accepting a hit only when strictly closer than the best so far.
+
+TPU-native expression: the scene is *static per compile* (shapes and values
+baked as literals), and the primitive loops are unrolled in Python over
+numpy scalar constants while rays stay as flat float32 arrays on the
+128-lane axis.  XLA fuses the whole scan into one register/VMEM-resident
+pass over the ray batch - no (n_rays x n_prims) intermediates ever touch
+HBM, which is what limits the naive broadcast formulation (measured 8
+Mpaths/s broadcast vs target >= 100).  The sequential thread of the running
+best-t through every primitive preserves the reference's exact ordering and
+strict-< tie semantics.
+
+For meshes too large to unroll (> _UNROLL_LIMIT triangles) a broadcast
+fallback is used; large meshes should use the uniform grid (ops/grid.py).
 
 Semantics preserved exactly (with Quirks toggles, see core/quirks.py):
-  floor   (ocl:65-70):   p = -oz/dz, hit if 0.01 < p (< t for lmem variants),
-                         m=1, n=(0,0,1)
+  floor   (ocl:65-70):   p = -oz/dz, hit if 0.01 < p < t, m=1, n=(0,0,1)
   squares (ocl:73-86):   rd = (4+j-oz)/dz, hit if rd < t and |k-ix|<1 and
                          |iy|<1 (NO positivity check in the reference), m=3
   spheres (ocl:88-108):  |o + t d - c| = 1, nearest root, hit if q > 0 and
@@ -26,6 +34,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.quirks import Quirks, DEFAULT
@@ -34,23 +43,32 @@ from ..scene.scene import Scene
 _EPS = np.float32(0.01)
 _BIG = np.float32(1e9)
 _INF = np.float32(np.inf)
+_UNROLL_LIMIT = 512
 
 
 class SceneArrays(NamedTuple):
-    """Device-resident SoA scene (a jax pytree; shapes static per scene)."""
-    sphere_centers: jnp.ndarray  # (Ns, 3)
-    square_k: jnp.ndarray        # (Nq,)
-    square_z: jnp.ndarray        # (Nq,)  plane height = j + 4
-    tri_v0: jnp.ndarray          # (Nt, 3)
-    tri_e0: jnp.ndarray          # (Nt, 3)  v1 - v0
-    tri_e2: jnp.ndarray          # (Nt, 3)  v2 - v0
-    tri_n: jnp.ndarray           # (Nt, 3)  normalize(e0 x e2)
-    lights: jnp.ndarray          # (Nl, 4)
+    """Host-side SoA scene (numpy); values are baked into jitted renderers
+    as literals, so shapes AND contents are static per compile."""
+    sphere_centers: np.ndarray  # (Ns, 3)
+    square_k: np.ndarray        # (Nq,)
+    square_z: np.ndarray        # (Nq,)  plane height = j + 4
+    tri_v0: np.ndarray          # (Nt, 3)
+    tri_e0: np.ndarray          # (Nt, 3)  v1 - v0
+    tri_e2: np.ndarray          # (Nt, 3)  v2 - v0
+    tri_n: np.ndarray           # (Nt, 3)  normalize(e0 x e2)
+    lights: np.ndarray          # (Nl, 4)
+
+    def fingerprint(self) -> bytes:
+        import hashlib
+        h = hashlib.sha1()
+        for a in self:
+            h.update(np.ascontiguousarray(a).tobytes())
+        return h.digest()
 
 
 def prep_scene(scene: Scene) -> SceneArrays:
     f32 = np.float32
-    tri = scene.triangles.astype(f32)
+    tri = scene.triangles.astype(f32).reshape(-1, 3, 3)
     v0 = tri[:, 0]
     e0 = tri[:, 1] - tri[:, 0]
     e2 = tri[:, 2] - tri[:, 0]
@@ -58,15 +76,13 @@ def prep_scene(scene: Scene) -> SceneArrays:
     with np.errstate(invalid="ignore", divide="ignore"):
         n = n / np.sqrt((n * n).sum(-1, keepdims=True))
     n = np.nan_to_num(n)
+    nq = scene.n_squares
     return SceneArrays(
-        sphere_centers=jnp.asarray(scene.sphere_centers, f32),
-        square_k=jnp.asarray(scene.square_kj[:, 0] if scene.n_squares else np.zeros(0), f32),
-        square_z=jnp.asarray(scene.square_kj[:, 1] + 4.0 if scene.n_squares else np.zeros(0), f32),
-        tri_v0=jnp.asarray(v0, f32),
-        tri_e0=jnp.asarray(e0, f32),
-        tri_e2=jnp.asarray(e2, f32),
-        tri_n=jnp.asarray(n, f32),
-        lights=jnp.asarray(scene.lights, f32),
+        sphere_centers=scene.sphere_centers.astype(f32).reshape(-1, 3),
+        square_k=(scene.square_kj[:, 0] if nq else np.zeros(0)).astype(f32),
+        square_z=(scene.square_kj[:, 1] + 4.0 if nq else np.zeros(0)).astype(f32),
+        tri_v0=v0, tri_e0=e0, tri_e2=e2, tri_n=n,
+        lights=scene.lights.astype(f32).reshape(-1, 4),
     )
 
 
@@ -77,75 +93,17 @@ class TraceResult(NamedTuple):
                            #             3 square/diffuse-sphere, 4 triangle
 
 
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
+def _c3(a):
+    """numpy row -> three python-float32 literals."""
+    return np.float32(a[0]), np.float32(a[1]), np.float32(a[2])
 
 
-def _cross(a, b):
-    return jnp.stack([
-        a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
-        a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
-        a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
-    ], axis=-1)
-
-
-def _floor_hit(o, d, quirks: Quirks):
-    p = -o[..., 2] / d[..., 2]
-    return p, p > _EPS
-
-
-def _square_best(o, d, scn: SceneArrays, quirks: Quirks):
-    """Min hit distance over squares; (R,). inf when none."""
-    rd = (scn.square_z - o[..., 2:3]) / d[..., 2:3]          # (R, Nq)
-    ix = o[..., 0:1] + d[..., 0:1] * rd
-    iy = o[..., 1:2] + d[..., 1:2] * rd
-    ok = (jnp.abs(scn.square_k - ix) < 1.0) & (jnp.abs(iy) < 1.0)
-    if not quirks.accept_negative_t:
-        ok = ok & (rd > _EPS)
-    return jnp.min(jnp.where(ok, rd, _INF), axis=-1)
-
-
-def _sphere_best(o, d, scn: SceneArrays, quirks: Quirks):
-    """(best_t, best_center) over unit spheres; (R,), (R,3)."""
-    p = o[..., None, :] - scn.sphere_centers                  # (R, Ns, 3)
-    b = _dot(p, d[..., None, :])
-    c = _dot(p, p) - 1.0
-    q = b * b - c
-    s = -b - jnp.sqrt(jnp.maximum(q, 0.0))
-    ok = (q > 0.0) & (s > _EPS)
-    s = jnp.where(ok, s, _INF)
-    idx = jnp.argmin(s, axis=-1)
-    best = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
-    center = scn.sphere_centers[idx]
-    return best, center
-
-
-def _triangle_best(o, d, scn: SceneArrays, quirks: Quirks):
-    """(best_t, best_normal) via Moller-Trumbore; (R,), (R,3)."""
-    e0 = scn.tri_e0
-    e2 = scn.tri_e2
-    pvec = _cross(d[..., None, :], e2)                        # (R, Nt, 3)
-    det = _dot(e0, pvec)
-    ok = jnp.abs(det) >= _EPS
-    inv = 1.0 / jnp.where(ok, det, 1.0)
-    tvec = o[..., None, :] - scn.tri_v0
-    u = _dot(tvec, pvec) * inv
-    ok = ok & (u >= 0.0) & (u <= 1.0)
-    qvec = _cross(tvec, e0)
-    v = _dot(d[..., None, :], qvec) * inv
-    ok = ok & (v >= 0.0) & (u + v <= 1.0)
-    rd = _dot(e2, qvec) * inv
-    if not quirks.accept_negative_t:
-        ok = ok & (rd > _EPS)
-    rd = jnp.where(ok, rd, _INF)
-    idx = jnp.argmin(rd, axis=-1)
-    best = jnp.take_along_axis(rd, idx[..., None], axis=-1)[..., 0]
-    return best, scn.tri_n[idx]
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
 
 
 def trace_ray(o, d, scn: SceneArrays, t_init=_BIG, quirks: Quirks = DEFAULT,
-              sphere_material: int = 3,
-              triangles: bool = True) -> TraceResult:
+              sphere_material: int = 3, triangles: bool = True) -> TraceResult:
     """Closest-hit query for a ray batch o/d of shape (..., 3).
 
     ``t_init`` reproduces the lmem variants' caller-initialised max distance
@@ -153,44 +111,105 @@ def trace_ray(o, d, scn: SceneArrays, t_init=_BIG, quirks: Quirks = DEFAULT,
     ``sphere_material`` is 2 (mirror) in the simple tracer (spt.ocl:68) and
     3 (diffuse) in all super tracers (pathtracer.ocl:103).
     """
-    R = o.shape[:-1]
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    R = ox.shape
+
     t = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), R)
     m = jnp.zeros(R, jnp.int32)
-    up = jnp.zeros(R + (3,), jnp.float32).at[..., 2].set(1.0)
-    n = jnp.zeros(R + (3,), jnp.float32)
+    nx = jnp.zeros(R, jnp.float32)
+    ny = jnp.zeros(R, jnp.float32)
+    nz = jnp.zeros(R, jnp.float32)
+    needs_norm = jnp.zeros(R, bool)   # sphere normals normalised at the end
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
 
-    # floor (strict class order: each later class must beat the running best)
-    p, okf = _floor_hit(o, d, quirks)
-    hit = okf & (p < t)
+    inv_dz = one / dz
+
+    # --- floor ---
+    p = -oz * inv_dz
+    hit = (p > _EPS) & (p < t)
     t = jnp.where(hit, p, t)
     m = jnp.where(hit, 1, m)
-    n = jnp.where(hit[..., None], up, n)
+    nx = jnp.where(hit, zero, nx)
+    ny = jnp.where(hit, zero, ny)
+    nz = jnp.where(hit, one, nz)
+    needs_norm = needs_norm & ~hit
 
-    if scn.square_k.shape[0]:
-        sq = _square_best(o, d, scn, quirks)
-        hit = sq < t
-        t = jnp.where(hit, sq, t)
-        m = jnp.where(hit, 3, m)
-        n = jnp.where(hit[..., None], up, n)
+    # --- squares ---
+    for k, z in zip(scn.square_k, scn.square_z):
+        rd = (np.float32(z) - oz) * inv_dz
+        ix = ox + dx * rd
+        iy = oy + dy * rd
+        ok = (rd < t) & (jnp.abs(np.float32(k) - ix) < 1.0) & (jnp.abs(iy) < 1.0)
+        if not quirks.accept_negative_t:
+            ok = ok & (rd > _EPS)
+        t = jnp.where(ok, rd, t)
+        m = jnp.where(ok, 3, m)
+        nx = jnp.where(ok, zero, nx)
+        ny = jnp.where(ok, zero, ny)
+        nz = jnp.where(ok, one, nz)
+        needs_norm = needs_norm & ~ok
 
+    # --- spheres --- (fori scan over a constant center table; each
+    # iteration broadcasts 3 scalars against the ray lanes - no (R, Ns)
+    # temporaries, compact HLO)
     if scn.sphere_centers.shape[0]:
-        sp, center = _sphere_best(o, d, scn, quirks)
-        hit = sp < t
-        t = jnp.where(hit, sp, t)
-        m = jnp.where(hit, sphere_material, m)
-        pc = o - center
-        sn = pc + d * sp[..., None]
-        sn = sn / jnp.sqrt(jnp.sum(sn * sn, axis=-1, keepdims=True))
-        n = jnp.where(hit[..., None], sn, n)
+        centers = jnp.asarray(scn.sphere_centers)
 
+        def sphere_body(i, carry):
+            t, m, nx, ny, nz, needs = carry
+            c = jax.lax.dynamic_slice(centers, (i, 0), (1, 3))[0]
+            px, py, pz = ox - c[0], oy - c[1], oz - c[2]
+            b = _dot3(px, py, pz, dx, dy, dz)
+            cc = _dot3(px, py, pz, px, py, pz) - one
+            q = b * b - cc
+            s = -b - jnp.sqrt(jnp.maximum(q, zero))
+            ok = (q > zero) & (s < t) & (s > _EPS)
+            t = jnp.where(ok, s, t)
+            m = jnp.where(ok, sphere_material, m)
+            nx = jnp.where(ok, px + dx * s, nx)
+            ny = jnp.where(ok, py + dy * s, ny)
+            nz = jnp.where(ok, pz + dz * s, nz)
+            needs = needs | ok
+            return t, m, nx, ny, nz, needs
+
+        t, m, nx, ny, nz, needs_norm = jax.lax.fori_loop(
+            0, scn.sphere_centers.shape[0], sphere_body,
+            (t, m, nx, ny, nz, needs_norm))
+
+    # --- triangles --- (same fori-scan shape: 13 scalars per iteration)
     if triangles and scn.tri_v0.shape[0]:
-        tt, tn = _triangle_best(o, d, scn, quirks)
-        hit = tt < t
-        t = jnp.where(hit, tt, t)
-        m = jnp.where(hit, 4, m)
-        n = jnp.where(hit[..., None], tn, n)
+        table = jnp.asarray(_tri_table(scn))
 
-    return TraceResult(t=t, normal=n, material=m)
+        def tri_body(i, carry):
+            t, m, nx, ny, nz, needs = carry
+            r = jax.lax.dynamic_slice(table, (i, 0), (1, 12))[0]
+            ok, rd = _mt_test(ox, oy, oz, dx, dy, dz, r, quirks)
+            ok = ok & (rd < t)
+            t = jnp.where(ok, rd, t)
+            m = jnp.where(ok, 4, m)
+            nx = jnp.where(ok, r[9], nx)
+            ny = jnp.where(ok, r[10], ny)
+            nz = jnp.where(ok, r[11], nz)
+            needs = needs & ~ok
+            return t, m, nx, ny, nz, needs
+
+        t, m, nx, ny, nz, needs_norm = jax.lax.fori_loop(
+            0, scn.tri_v0.shape[0], tri_body,
+            (t, m, nx, ny, nz, needs_norm))
+
+    inv_len = jnp.where(
+        needs_norm,
+        jax_rsqrt(_dot3(nx, ny, nz, nx, ny, nz)),
+        one)
+    normal = jnp.stack([nx * inv_len, ny * inv_len, nz * inv_len], axis=-1)
+    return TraceResult(t=t, normal=normal, material=m)
+
+
+def jax_rsqrt(x):
+    import jax.lax as lax
+    return lax.rsqrt(jnp.maximum(x, jnp.float32(1e-30)))
 
 
 def any_hit(o, d, scn: SceneArrays, t_limit=_BIG, quirks: Quirks = DEFAULT,
@@ -200,48 +219,122 @@ def any_hit(o, d, scn: SceneArrays, t_limit=_BIG, quirks: Quirks = DEFAULT,
     Matches the reference's shadow test, which calls full TraceRay and checks
     material != 0 (pathtracer.ocl:180).  The plain super tracer re-initialises
     t to 1e9 inside TraceRay so *any* hit occludes, even beyond the light;
-    the lmem variants pass the light distance as the cap - expressed here via
-    ``t_limit`` (scalar or per-ray array).
+    the bidirectional/metropolis variants pass the light distance as the cap
+    - expressed here via ``t_limit`` (scalar or per-ray array).
     """
-    t_limit = jnp.asarray(t_limit, jnp.float32)
-    tl = t_limit[..., None] if t_limit.ndim else t_limit  # broadcast vs prim axis
-    occluded = jnp.zeros(o.shape[:-1], bool)
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    tl = jnp.asarray(t_limit, jnp.float32)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    inv_dz = one / dz
 
-    p, okf = _floor_hit(o, d, quirks)
-    occluded = occluded | (okf & (p < t_limit))
+    p = -oz * inv_dz
+    occ = (p > _EPS) & (p < tl)
 
-    if scn.square_k.shape[0]:
-        rd = (scn.square_z - o[..., 2:3]) / d[..., 2:3]
-        ix = o[..., 0:1] + d[..., 0:1] * rd
-        iy = o[..., 1:2] + d[..., 1:2] * rd
-        ok = (jnp.abs(scn.square_k - ix) < 1.0) & (jnp.abs(iy) < 1.0)
+    for k, z in zip(scn.square_k, scn.square_z):
+        rd = (np.float32(z) - oz) * inv_dz
+        ix = ox + dx * rd
+        iy = oy + dy * rd
+        ok = (rd < tl) & (jnp.abs(np.float32(k) - ix) < 1.0) & (jnp.abs(iy) < 1.0)
         if not quirks.accept_negative_t:
             ok = ok & (rd > _EPS)
-        occluded = occluded | jnp.any(ok & (rd < tl), axis=-1)
+        occ = occ | ok
 
     if scn.sphere_centers.shape[0]:
-        pc = o[..., None, :] - scn.sphere_centers
-        b = _dot(pc, d[..., None, :])
-        c = _dot(pc, pc) - 1.0
-        q = b * b - c
-        s = -b - jnp.sqrt(jnp.maximum(q, 0.0))
-        ok = (q > 0.0) & (s > _EPS)
-        occluded = occluded | jnp.any(ok & (s < tl), axis=-1)
+        centers = jnp.asarray(scn.sphere_centers)
+
+        def sphere_body(i, occ):
+            c = jax.lax.dynamic_slice(centers, (i, 0), (1, 3))[0]
+            px, py, pz = ox - c[0], oy - c[1], oz - c[2]
+            b = _dot3(px, py, pz, dx, dy, dz)
+            cc = _dot3(px, py, pz, px, py, pz) - one
+            q = b * b - cc
+            s = -b - jnp.sqrt(jnp.maximum(q, zero))
+            return occ | ((q > zero) & (s < tl) & (s > _EPS))
+
+        occ = jax.lax.fori_loop(0, scn.sphere_centers.shape[0], sphere_body, occ)
 
     if triangles and scn.tri_v0.shape[0]:
-        pvec = _cross(d[..., None, :], scn.tri_e2)
-        det = _dot(scn.tri_e0, pvec)
-        ok = jnp.abs(det) >= _EPS
-        inv = 1.0 / jnp.where(ok, det, 1.0)
-        tvec = o[..., None, :] - scn.tri_v0
-        u = _dot(tvec, pvec) * inv
-        ok = ok & (u >= 0.0) & (u <= 1.0)
-        qvec = _cross(tvec, scn.tri_e0)
-        v = _dot(d[..., None, :], qvec) * inv
-        ok = ok & (v >= 0.0) & (u + v <= 1.0)
-        rd = _dot(scn.tri_e2, qvec) * inv
-        if not quirks.accept_negative_t:
-            ok = ok & (rd > _EPS)
-        occluded = occluded | jnp.any(ok & (rd < tl), axis=-1)
+        table = jnp.asarray(_tri_table(scn))
 
-    return occluded
+        def tri_body(i, occ):
+            r = jax.lax.dynamic_slice(table, (i, 0), (1, 12))[0]
+            ok, rd = _mt_test(ox, oy, oz, dx, dy, dz, r, quirks)
+            return occ | (ok & (rd < tl))
+
+        occ = jax.lax.fori_loop(0, scn.tri_v0.shape[0], tri_body, occ)
+
+    return occ
+
+
+def _tri_table(scn: SceneArrays) -> np.ndarray:
+    """(Nt, 12) packed triangle constants: v0, e0, e2, unit normal."""
+    return np.concatenate(
+        [scn.tri_v0, scn.tri_e0, scn.tri_e2, scn.tri_n], axis=1
+    ).astype(np.float32)
+
+
+def _mt_test(ox, oy, oz, dx, dy, dz, r, quirks: Quirks):
+    """Moller-Trumbore validity + distance for one packed triangle row ``r``
+    against the ray lanes.  Returns (ok, rd); caller applies the running-t
+    comparison."""
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    v0x, v0y, v0z = r[0], r[1], r[2]
+    e0x, e0y, e0z = r[3], r[4], r[5]
+    e2x, e2y, e2z = r[6], r[7], r[8]
+    # pvec = d x e2
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = _dot3(e0x, e0y, e0z, pvx, pvy, pvz)
+    ok = jnp.abs(det) >= _EPS
+    inv = one / jnp.where(ok, det, one)
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    u = _dot3(tvx, tvy, tvz, pvx, pvy, pvz) * inv
+    ok = ok & (u >= zero) & (u <= one)
+    # qvec = tvec x e0
+    qvx = tvy * e0z - tvz * e0y
+    qvy = tvz * e0x - tvx * e0z
+    qvz = tvx * e0y - tvy * e0x
+    v = _dot3(dx, dy, dz, qvx, qvy, qvz) * inv
+    ok = ok & (v >= zero) & (u + v <= one)
+    rd = _dot3(e2x, e2y, e2z, qvx, qvy, qvz) * inv
+    if not quirks.accept_negative_t:
+        ok = ok & (rd > _EPS)
+    return ok, rd
+
+
+# ---------------------------------------------------------------------------
+# broadcast fallback for large meshes (rays x prims dense)
+
+def _cross(a, b):
+    return jnp.stack([
+        a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+        a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+        a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+    ], axis=-1)
+
+
+def _triangle_best_bcast(o, d, scn: SceneArrays, quirks: Quirks):
+    """(best_t, best_normal) via dense Moller-Trumbore; (R,), (R,3)."""
+    e0 = jnp.asarray(scn.tri_e0)
+    e2 = jnp.asarray(scn.tri_e2)
+    pvec = _cross(d[..., None, :], e2)
+    det = jnp.sum(e0 * pvec, -1)
+    ok = jnp.abs(det) >= _EPS
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = o[..., None, :] - jnp.asarray(scn.tri_v0)
+    u = jnp.sum(tvec * pvec, -1) * inv
+    ok = ok & (u >= 0.0) & (u <= 1.0)
+    qvec = _cross(tvec, e0)
+    v = jnp.sum(d[..., None, :] * qvec, -1) * inv
+    ok = ok & (v >= 0.0) & (u + v <= 1.0)
+    rd = jnp.sum(e2 * qvec, -1) * inv
+    if not quirks.accept_negative_t:
+        ok = ok & (rd > _EPS)
+    rd = jnp.where(ok, rd, _INF)
+    idx = jnp.argmin(rd, axis=-1)
+    best = jnp.take_along_axis(rd, idx[..., None], axis=-1)[..., 0]
+    return best, jnp.asarray(scn.tri_n)[idx]

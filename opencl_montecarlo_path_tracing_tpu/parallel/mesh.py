@@ -1,0 +1,77 @@
+"""Device-mesh parallelism: spp sharding over ICI with a film all-reduce.
+
+The reference is a single-device codebase (one in-order cl_command_queue,
+ocl_boiler.h:150); its only scaling axes are the 2-D NDRange and the
+sample-parallel decomposition of CLSuperPathTracer_lmem_NoDoF
+(gws = (W*8, H*8), SURVEY.md section 2 #7).  The TPU-native generalisation
+(BASELINE.json north star) is: spp is a sharded batch axis over a
+``jax.sharding.Mesh``; every chip renders a disjoint sample window of the
+*same* logical sample space (counter-based RNG keyed on pixel*spp_total +
+sample, so the set of drawn samples is independent of the layout); the film
+is ``psum``-reduced over ICI.  No host round-trips anywhere in the pipeline.
+
+The per-device sample windows make the sharded image equal to the
+single-device image up to float summation order (tested to atol 1e-3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..models.super import film_super
+from ..models.common import MAX_BOUNCES
+from ..ops.intersect import SceneArrays, prep_scene
+from ..scene.scene import Scene
+from ..core.quirks import Quirks, DEFAULT
+
+
+def make_spp_mesh(n_devices: int | None = None, axis: str = "spp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (axis,), devices=devices)
+
+
+def shard_spp(film_fn, mesh: Mesh, spp: int, axis: str = "spp"):
+    """Wrap ``film_fn(spp_local, spp_offset, spp_total) -> film`` into an
+    SPMD program: each device renders its sample window, films are
+    psum-reduced over the mesh axis, result replicated."""
+    n = mesh.devices.size
+    if spp % n:
+        raise ValueError(f"spp={spp} not divisible by mesh size {n}")
+    local = spp // n
+
+    def body():
+        idx = jax.lax.axis_index(axis)
+        film = film_fn(local, idx * jnp.uint32(local), spp)
+        return jax.lax.psum(film, axis)
+
+    return shard_map(body, mesh=mesh, in_specs=(), out_specs=P(),
+                     check_vma=False)
+
+
+def render_super_sharded(key, scene: Scene | SceneArrays, width: int,
+                         height: int, spp: int, mesh: Mesh | None = None,
+                         quirks: Quirks = DEFAULT,
+                         max_bounces: int = MAX_BOUNCES):
+    """Multi-chip render of the full scene; returns the replicated
+    pre-ambient film (H, W, 3)."""
+    scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    if mesh is None:
+        mesh = make_spp_mesh()
+
+    def film_fn(local, offset, total):
+        return film_super(key, scn, width, height, local, offset, total,
+                          quirks, max_bounces)
+
+    run = jax.jit(shard_spp(film_fn, mesh, spp))
+    return run()

@@ -1,0 +1,37 @@
+import numpy as np
+import jax
+
+from opencl_montecarlo_path_tracing_tpu.core.rng import make_key
+from opencl_montecarlo_path_tracing_tpu.models.super import render_super
+from opencl_montecarlo_path_tracing_tpu.parallel import (
+    make_spp_mesh, render_super_sharded,
+)
+from tests.test_render_super import small_scene
+
+
+def test_mesh_has_8_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_sharded_render_matches_single_device():
+    """spp sharded over 8 devices + psum == single-device render.
+
+    Counter-based RNG makes the drawn samples identical; only float
+    summation order differs."""
+    scene = small_scene()
+    key = make_key(21)
+    w = h = 16
+    spp = 16
+    single = np.asarray(render_super(key, scene, w, h, spp=spp))
+    mesh = make_spp_mesh(8)
+    sharded = np.asarray(render_super_sharded(key, scene, w, h, spp, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)
+
+
+def test_sharded_render_subset_mesh():
+    scene = small_scene()
+    key = make_key(22)
+    mesh = make_spp_mesh(2)
+    f = np.asarray(render_super_sharded(key, scene, 8, 8, 4, mesh))
+    single = np.asarray(render_super(key, scene, 8, 8, spp=4))
+    np.testing.assert_allclose(f, single, rtol=0, atol=2e-3)
