@@ -1,0 +1,69 @@
+"""Built-in demo scenes (no external files needed).
+
+``demo_scene()`` prefers the reference scene files when the reference tree
+is mounted (so benches run the exact CLSuperPathTracer workload); otherwise
+it builds an equivalent-scale procedural scene: the same sphere/square
+bitmaps and lights (tiny public constants of the scene format) plus a
+procedurally generated torus mesh of comparable triangle count to the
+reference's ~96-triangle mesh.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .scene import Scene, bitmap_to_spheres, bitmap_to_squares
+
+REFERENCE_SUPER_DIR = "/root/reference/CLSuperPathTracer"
+
+# super-scene bitmaps: spheres at (10,0,4) and (11,0,11); squares at
+# (12, z=4), (0, z=10), (7, z=10), (13, z=12)
+_SUPER_SPHERE_BITS = np.array([1024, 0, 0, 0, 0, 0, 0, 2048, 0], np.int64)
+_SUPER_SQUARE_BITS = np.array([4096, 0, 0, 0, 0, 0, 129, 0, 8192], np.int64)
+_SUPER_LIGHTS = np.array([[10, 4, 10, 200], [15, 2, 7, 150]], np.float32)
+
+
+def torus_mesh(center=(7.8, 5.0, 10.7), major=0.6, minor=0.25,
+               n_major: int = 8, n_minor: int = 6) -> np.ndarray:
+    """Procedural torus triangle mesh, (2 * n_major * n_minor, 3, 3)."""
+    cx, cy, cz = center
+    us = np.linspace(0, 2 * np.pi, n_major, endpoint=False)
+    vs = np.linspace(0, 2 * np.pi, n_minor, endpoint=False)
+
+    def point(u, v):
+        r = major + minor * np.cos(v)
+        return np.array([cx + r * np.cos(u), cy + r * np.sin(u),
+                         cz + minor * np.sin(v)], np.float32)
+
+    tris = []
+    for i in range(n_major):
+        for j in range(n_minor):
+            u0, u1 = us[i], us[(i + 1) % n_major]
+            v0, v1 = vs[j], vs[(j + 1) % n_minor]
+            a, b = point(u0, v0), point(u1, v0)
+            c, d = point(u1, v1), point(u0, v1)
+            tris.append([a, b, c])
+            tris.append([a, c, d])
+    return np.asarray(tris, np.float32)
+
+
+def procedural_super_scene() -> Scene:
+    return Scene(
+        sphere_centers=bitmap_to_spheres(_SUPER_SPHERE_BITS),
+        square_kj=bitmap_to_squares(_SUPER_SQUARE_BITS),
+        triangles=torus_mesh(),
+        lights=_SUPER_LIGHTS.copy(),
+    )
+
+
+def demo_scene(prefer_reference: bool = True) -> tuple[Scene, str]:
+    """Returns (scene, source_tag)."""
+    if prefer_reference and os.path.isdir(REFERENCE_SUPER_DIR):
+        from .scene import load_scene
+        try:
+            return load_scene(REFERENCE_SUPER_DIR), "reference:CLSuperPathTracer"
+        except Exception:
+            pass
+    return procedural_super_scene(), "builtin:procedural"
