@@ -110,20 +110,17 @@ def accumulate_spp(sample_fn, width: int, height: int, spp: int,
 
 
 def bounce_loop(step_fn, init_state, max_bounces: int = MAX_BOUNCES):
-    """while (b < max_bounces && any(alive)): state = step_fn(b, state).
+    """for b in range(max_bounces): state = step_fn(b, state) - a fori_loop
+    with live-ray masks.
 
-    ``init_state`` must contain an ``alive`` bool array under key index -1 by
-    convention; we pass explicitly: state = (alive, ...).  Terminates early
-    on scenes with no reflective material (the whole "super" family, where
-    the mirror branch is dead code - SURVEY.md section 2.10).
+    The trip count is STATIC on purpose: a ``while (any(alive))`` condition
+    hits a pathological minutes-long compile path in the TPU backend for
+    small ray batches (a reduction over a loop-carried array in the loop
+    condition).  Callers that know a scene cannot bounce (the whole "super"
+    family - the mirror branch is dead code, SURVEY.md section 2.10) pass
+    max_bounces=1 instead of relying on dynamic termination.
     """
-    def cond(carry):
-        b, state = carry
-        return (b < max_bounces) & jnp.any(state[0])
+    def body(b, state):
+        return step_fn(jnp.uint32(b), state)
 
-    def body(carry):
-        b, state = carry
-        return b + 1, step_fn(b, state)
-
-    _, final = jax.lax.while_loop(cond, body, (jnp.uint32(0), init_state))
-    return final
+    return jax.lax.fori_loop(0, max_bounces, body, init_state)

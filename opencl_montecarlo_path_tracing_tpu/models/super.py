@@ -36,8 +36,13 @@ from . import common as C
 
 
 def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
-                 s, ii, jj, ray_id):
-    """One camera sample per pixel on the full scene; returns (R, 3)."""
+                 s, ii, jj, ray_id, tri_override=None):
+    """One camera sample per pixel on the full scene; returns (R, 3).
+
+    ``tri_override`` replaces the brute-force triangle scan (e.g. with the
+    uniform-grid DDA, models/trianglegrid.py); shadow rays then also use it,
+    matching the reference where the grid serves every TraceRay
+    (trianglegrid/pathtracer.ocl:245)."""
     r1, r2, r3, r4 = rngmod.randn_draws(key, ray_id, C.SITE_CAMERA, 4)
     cam = make_camera(z_sign=-1.0)
     o, d = primary_rays(cam, ii, jj, r1, r2, r3, r4)
@@ -56,7 +61,8 @@ def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
 
     def step(b, state):
         alive, o, d, color_fact, div, total_illum, result = state
-        tr = trace_ray(o, d, scn, quirks=quirks, sphere_material=3)
+        tr = trace_ray(o, d, scn, quirks=quirks, sphere_material=3,
+                       tri_override=tri_override)
         m = jnp.where(alive, tr.material, -1)
 
         sky = color_fact + C.sky_color(d[..., 2]) / div[..., None]
@@ -65,21 +71,37 @@ def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
         x = o + d * tr.t[..., None]
         shading = alive & (tr.material != 0)
 
-        # light loop (pathtracer.ocl:167-188); static unroll over nlights
+        # light loop (pathtracer.ocl:167-188); static unroll over nlights,
+        # with all shadow rays batched into ONE occlusion trace so the
+        # (expensive) primitive scan is instantiated once per bounce.
         last_ldir = d  # dummy; overwritten by any light with intensity != 0
+        ldirs = []
         for i in range(nlights):
             lp = scn.lights[i, :3]
-            intensity = scn.lights[i, 3]
             u1, u2 = rngmod.rand2(
                 key, ray_id,
                 C.SITE_LIGHT0 + b * np.uint32(C.SITE_STRIDE_BOUNCE) + np.uint32(i))
             jitter = jnp.stack([u1, u2, jnp.zeros_like(u1)], axis=-1)
-            ldir = C.normalize(lp + jitter - x)
             # reference skips lights with intensity == 0 (ocl:171) BEFORE
             # updating light_dir; scenes ship none, and intensity is a
             # host-static scalar here, so the draw above matches draw order.
+            ldirs.append(C.normalize(lp + jitter - x))
+        if nlights:
+            xs = jnp.concatenate([x] * nlights, axis=0)
+            ds = jnp.concatenate(ldirs, axis=0)
+            if tri_override is None:
+                occ_all = any_hit(xs, ds, scn, quirks=quirks)
+            else:
+                occ_all = trace_ray(xs, ds, scn, quirks=quirks,
+                                    sphere_material=3,
+                                    tri_override=tri_override).material != 0
+            occ_all = occ_all.reshape(nlights, -1)
+        for i in range(nlights):
+            lp = scn.lights[i, :3]
+            intensity = scn.lights[i, 3]
+            ldir = ldirs[i]
             lamb = C.dot(ldir, tr.normal)
-            occ = any_hit(x, ldir, scn, quirks=quirks)
+            occ = occ_all[i].reshape(lamb.shape)
             dist2 = jnp.sum((lp - x) ** 2, axis=-1)
             contrib = jnp.where(
                 (lamb < 0) | occ, 0.0,
@@ -115,7 +137,10 @@ def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
         alive = alive & bounce
         return alive, o, d, color_fact, div, total_illum, result
 
-    final = C.bounce_loop(step, state, max_bounces)
+    # the super family's mirror branch is unreachable (spheres are material
+    # 3, pathtracer.ocl:103), so no ray survives bounce 1: run exactly one
+    # iteration instead of relying on dynamic loop termination.
+    final = C.bounce_loop(step, state, min(max_bounces, 1))
     alive, _, _, color_fact, _, _, result = final
     return jnp.where(alive[..., None], color_fact, result)
 

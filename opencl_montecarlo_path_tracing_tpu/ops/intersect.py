@@ -103,7 +103,8 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 
 def trace_ray(o, d, scn: SceneArrays, t_init=_BIG, quirks: Quirks = DEFAULT,
-              sphere_material: int = 3, triangles: bool = True) -> TraceResult:
+              sphere_material: int = 3, triangles: bool = True,
+              tri_override=None) -> TraceResult:
     """Closest-hit query for a ray batch o/d of shape (..., 3).
 
     ``t_init`` reproduces the lmem variants' caller-initialised max distance
@@ -179,7 +180,10 @@ def trace_ray(o, d, scn: SceneArrays, t_init=_BIG, quirks: Quirks = DEFAULT,
             (t, m, nx, ny, nz, needs_norm))
 
     # --- triangles --- (same fori-scan shape: 13 scalars per iteration)
-    if triangles and scn.tri_v0.shape[0]:
+    if tri_override is not None:
+        t, m, nx, ny, nz, needs_norm = tri_override(
+            o, d, t, m, nx, ny, nz, needs_norm)
+    elif triangles and scn.tri_v0.shape[0]:
         table = jnp.asarray(_tri_table(scn))
 
         def tri_body(i, carry):
