@@ -35,14 +35,70 @@ from ..scene.scene import Scene
 from . import common as C
 
 
+def illum_direct(key, scn: SceneArrays, quirks: Quirks, tri_override,
+                 b, x, normal, shading, total_illum, ray_id):
+    """Direct illumination with jittered soft shadows - the super tracer's
+    light loop (pathtracer.ocl:167-191).  Returns the updated cross-bounce
+    total_illumination and the last light direction (consumed by the mirror
+    branch's highlight, ocl:211).
+
+    All shadow rays are batched into ONE occlusion trace so the (expensive)
+    primitive scan is instantiated once per bounce.
+    """
+    nlights = int(scn.lights.shape[0])
+    last_ldir = jnp.zeros_like(x)  # overwritten by any light w/ intensity != 0
+    ldirs = []
+    for i in range(nlights):
+        lp = scn.lights[i, :3]
+        u1, u2 = rngmod.rand2(
+            key, ray_id,
+            C.SITE_LIGHT0 + b * np.uint32(C.SITE_STRIDE_BOUNCE) + np.uint32(i))
+        jitter = jnp.stack([u1, u2, jnp.zeros_like(u1)], axis=-1)
+        # reference skips lights with intensity == 0 (ocl:171) BEFORE
+        # updating light_dir; scenes ship none, and intensity is a
+        # host-static scalar here, so the draw above matches draw order.
+        ldirs.append(C.normalize(lp + jitter - x))
+    if nlights:
+        xs = jnp.concatenate([x] * nlights, axis=0)
+        ds = jnp.concatenate(ldirs, axis=0)
+        if tri_override is None:
+            occ_all = any_hit(xs, ds, scn, quirks=quirks)
+        else:
+            occ_all = trace_ray(xs, ds, scn, quirks=quirks,
+                                sphere_material=3,
+                                tri_override=tri_override).material != 0
+        occ_all = occ_all.reshape(nlights, -1)
+    for i in range(nlights):
+        lp = scn.lights[i, :3]
+        intensity = scn.lights[i, 3]
+        ldir = ldirs[i]
+        lamb = C.dot(ldir, normal)
+        occ = occ_all[i].reshape(lamb.shape)
+        dist2 = jnp.sum((lp - x) ** 2, axis=-1)
+        contrib = jnp.where(
+            (lamb < 0) | occ, 0.0,
+            lamb * jnp.minimum(intensity / dist2, 1.0))
+        total_illum = jnp.where(shading, total_illum + contrib, total_illum)
+        last_ldir = ldir
+
+    total_illum = jnp.where(shading, jnp.minimum(total_illum, 1.0) / 4.0,
+                            total_illum)
+    return total_illum, last_ldir
+
+
 def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
-                 s, ii, jj, ray_id, tri_override=None):
+                 s, ii, jj, ray_id, tri_override=None, illum_fn=None):
     """One camera sample per pixel on the full scene; returns (R, 3).
 
     ``tri_override`` replaces the brute-force triangle scan (e.g. with the
     uniform-grid DDA, models/trianglegrid.py); shadow rays then also use it,
     matching the reference where the grid serves every TraceRay
-    (trianglegrid/pathtracer.ocl:245)."""
+    (trianglegrid/pathtracer.ocl:245).
+
+    ``illum_fn(b, x, normal, shading, total_illum, ray_id) ->
+    (total_illum, last_ldir)`` replaces the direct-light loop - the
+    bidirectional/metropolis integrators plug their VLP gathers in here
+    (models/bidirectional.py, models/metropolis.py)."""
     r1, r2, r3, r4 = rngmod.randn_draws(key, ray_id, C.SITE_CAMERA, 4)
     cam = make_camera(z_sign=-1.0)
     o, d = primary_rays(cam, ii, jj, r1, r2, r3, r4)
@@ -57,7 +113,9 @@ def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
         jnp.zeros(R, jnp.float32), # total_illumination (carried across bounces)
         zero3,                     # result
     )
-    nlights = int(scn.lights.shape[0])
+    if illum_fn is None:
+        illum_fn = functools.partial(illum_direct, key, scn, quirks,
+                                     tri_override)
 
     def step(b, state):
         alive, o, d, color_fact, div, total_illum, result = state
@@ -71,47 +129,8 @@ def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
         x = o + d * tr.t[..., None]
         shading = alive & (tr.material != 0)
 
-        # light loop (pathtracer.ocl:167-188); static unroll over nlights,
-        # with all shadow rays batched into ONE occlusion trace so the
-        # (expensive) primitive scan is instantiated once per bounce.
-        last_ldir = d  # dummy; overwritten by any light with intensity != 0
-        ldirs = []
-        for i in range(nlights):
-            lp = scn.lights[i, :3]
-            u1, u2 = rngmod.rand2(
-                key, ray_id,
-                C.SITE_LIGHT0 + b * np.uint32(C.SITE_STRIDE_BOUNCE) + np.uint32(i))
-            jitter = jnp.stack([u1, u2, jnp.zeros_like(u1)], axis=-1)
-            # reference skips lights with intensity == 0 (ocl:171) BEFORE
-            # updating light_dir; scenes ship none, and intensity is a
-            # host-static scalar here, so the draw above matches draw order.
-            ldirs.append(C.normalize(lp + jitter - x))
-        if nlights:
-            xs = jnp.concatenate([x] * nlights, axis=0)
-            ds = jnp.concatenate(ldirs, axis=0)
-            if tri_override is None:
-                occ_all = any_hit(xs, ds, scn, quirks=quirks)
-            else:
-                occ_all = trace_ray(xs, ds, scn, quirks=quirks,
-                                    sphere_material=3,
-                                    tri_override=tri_override).material != 0
-            occ_all = occ_all.reshape(nlights, -1)
-        for i in range(nlights):
-            lp = scn.lights[i, :3]
-            intensity = scn.lights[i, 3]
-            ldir = ldirs[i]
-            lamb = C.dot(ldir, tr.normal)
-            occ = occ_all[i].reshape(lamb.shape)
-            dist2 = jnp.sum((lp - x) ** 2, axis=-1)
-            contrib = jnp.where(
-                (lamb < 0) | occ, 0.0,
-                lamb * jnp.minimum(intensity / dist2, 1.0))
-            total_illum = jnp.where(shading, total_illum + contrib, total_illum)
-            last_ldir = ldir
-
-        total_illum = jnp.where(shading, jnp.minimum(total_illum, 1.0),
-                                total_illum)
-        total_illum = jnp.where(shading, total_illum / 4.0, total_illum)
+        total_illum, last_ldir = illum_fn(b, x, tr.normal, shading,
+                                          total_illum, ray_id)
 
         fl = color_fact + C.floor_color(x) * total_illum[..., None] / div[..., None]
         result = jnp.where((m == 1)[..., None], fl, result)

@@ -1,0 +1,218 @@
+"""Virtual point light (VPL) ops: emission, dense gather, grid gather.
+
+Reference (SURVEY.md section 2 #10/#12):
+ * ``lightTracer`` emits one VLP per (work item, light): a uniform-sphere
+   direction from the light, one bounce, VLP = (hit position, material-scaled
+   intensity / (total_vlp / 512)) (bidirectionalpathtracer.ocl:230-326).
+ * The render pass gathers ALL VLPs per shading point with no shadow rays
+   (occlusion commented out, ocl:179-182).
+ * The vlpgrid variant bins VLPs into a uniform grid (radius heuristic
+   16*sqrt(intensity), metropolispathtracer.ocl:551-554) and gathers only
+   the shading point's cell (ocl vlpgrid:326-349).
+
+TPU design: emission is one batched trace over (nlights * n_vlp) rays; the
+dense gather is expressed so its inner products run as (rays x 3) @
+(3 x VLPs) matmuls on the MXU, chunked over rays to bound the (R, V)
+working set; the whole pipeline (emit -> reduce box -> build grid -> render)
+stays device-resident - including the VLP bounding-box reduction the
+reference reads back to the host mid-pipeline (vlpgrid .c:609, SURVEY.md
+section 3.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rngmod
+from ..core.quirks import Quirks, DEFAULT
+from .intersect import SceneArrays, trace_ray
+from . import grid as gridmod
+
+# RNG draw-site bases (see core/rng.py and models/common.py)
+SITE_VLP_DIR = 64      # + light index (emission directions)
+
+# material -> VLP base intensity (bidirectionalpathtracer.ocl:265-276)
+_BPT_BASE = {1: 70.0, 2: 5.0, 3: 40.0}
+# metropolis variant uses different constants and a /256 denominator
+# (metropolispathtracer.ocl:416-426)
+_MLT_BASE = {1: 400.0, 2: 10.0, 3: 40.0}
+
+
+def uniform_sphere(u1, u2):
+    """Uniform direction on S^2 (same distribution as the reference's
+    Marsaglia rejection loop, ocl:318-323, without data-dependent trips)."""
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = (2.0 * np.pi) * u2
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def vlp_from_light_sample(o, direction, light_intensity, scale_den,
+                          scn: SceneArrays, quirks: Quirks,
+                          base=_BPT_BASE, tri_override=None):
+    """SampleFromLightSource (ocl:230-278) batched: trace one ray from the
+    light, return (V, 4) = (hit position, scaled intensity); zeros on miss
+    or non-emissive material."""
+    tr = trace_ray(o, direction, scn, quirks=quirks, sphere_material=3,
+                   tri_override=tri_override)
+    x = o + direction * tr.t[..., None]
+    lamb = jnp.sum(direction * tr.normal, axis=-1)
+    dist2 = jnp.sum((o - x) ** 2, axis=-1)
+    lamb = jnp.where(lamb < 0, 0.0,
+                     lamb * jnp.minimum(light_intensity / dist2, 1.0))
+    lamb = jnp.minimum(lamb, 1.0)
+    m = tr.material
+    base_i = jnp.zeros_like(lamb)
+    for mat, val in base.items():
+        base_i = jnp.where(m == mat, np.float32(val), base_i)
+    intensity = base_i * lamb / np.float32(scale_den)
+    hit = m != 0
+    pos = jnp.where(hit[..., None], x, 0.0)
+    intensity = jnp.where(hit, intensity, 0.0)
+    return jnp.concatenate([pos, intensity[..., None]], axis=-1)
+
+
+def emit_vlps(key, scn: SceneArrays, n_vlp: int, quirks: Quirks = DEFAULT,
+              tri_override=None):
+    """lightTracer pass (ocl:280-326): (nlights * n_vlp, 4) VLPs, laid out
+    vlp[gi + l * n_vlp] like the reference's strided write (ocl:324).
+
+    total_vlp scaling: intensity /= (total_vlp / 512) with the reference's
+    INTEGER division (ocl:267), guarded to >= 1 (the reference divides by
+    zero when total_vlp < 512)."""
+    nlights = int(scn.lights.shape[0])
+    total_vlp = n_vlp * nlights
+    scale_den = max(1, total_vlp // 512)
+    gi = jnp.arange(n_vlp, dtype=jnp.uint32)
+
+    dirs = []
+    for l in range(nlights):
+        site = SITE_VLP_DIR if quirks.reuse_light_direction else SITE_VLP_DIR + l
+        u1, u2 = rngmod.rand2(key, gi, site)
+        dirs.append(uniform_sphere(u1, u2))
+    out = []
+    for l in range(nlights):
+        lp = scn.lights[l, :3]
+        intensity = scn.lights[l, 3]
+        o = jnp.broadcast_to(jnp.asarray(lp, jnp.float32), (n_vlp, 3))
+        d = dirs[0] if quirks.reuse_light_direction else dirs[l]
+        out.append(vlp_from_light_sample(o, d, np.float32(intensity),
+                                         scale_den, scn, quirks,
+                                         tri_override=tri_override))
+    return jnp.concatenate(out, axis=0)
+
+
+def gather_vlps(x, n, vlps, ray_chunk: int = 1 << 15):
+    """Dense VLP gather: sum over ALL VLPs of max(lamb, 0) * min(I/d^2, 1)
+    with no shadow rays (Sample's VLP loop, ocl:166-187).
+
+    The (rays x VLPs) bilinear terms run as two matmuls on the MXU; rays are
+    chunked so the (C, V) working set stays on-chip-sized.
+    """
+    R = x.shape[0]
+    vp = vlps[:, :3]                      # (V, 3)
+    vi = vlps[:, 3]                       # (V,)
+    vp_sq = jnp.sum(vp * vp, axis=-1)     # (V,)
+
+    def chunk_fn(args):
+        xc, nc = args                     # (C, 3) each
+        # lamb numerator: n . (vlp - x) = n @ vp^T - (n . x)
+        g_n = jnp.dot(nc, vp.T, preferred_element_type=jnp.float32)
+        g_x = jnp.dot(xc, vp.T, preferred_element_type=jnp.float32)
+        nx = jnp.sum(nc * xc, axis=-1, keepdims=True)
+        xx = jnp.sum(xc * xc, axis=-1, keepdims=True)
+        lamb_num = g_n - nx               # (C, V)
+        dist2 = jnp.maximum(vp_sq - 2.0 * g_x + xx, 1e-12)
+        lamb = lamb_num / jnp.sqrt(dist2)
+        contrib = jnp.where((vi > 0) & (lamb >= 0),
+                            lamb * jnp.minimum(vi / dist2, 1.0), 0.0)
+        return jnp.sum(contrib, axis=-1)
+
+    if R <= ray_chunk:
+        return chunk_fn((x, n))
+    pad = (-R) % ray_chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    np_ = jnp.pad(n, ((0, pad), (0, 0)))
+    out = jax.lax.map(chunk_fn, (xp.reshape(-1, ray_chunk, 3),
+                                 np_.reshape(-1, ray_chunk, 3)))
+    return out.reshape(-1)[:R]
+
+
+def vlp_bounds(vlps):
+    """Device-resident VLP bounding box (replaces the reference's two-stage
+    lmem reduction + BLOCKING host read, vlpgrid .c:597-611): each VLP with
+    intensity > 0 contributes pos +- 16*sqrt(I)
+    (reduceMinAndMax_lmem, metropolispathtracer.ocl:538-578)."""
+    vi = vlps[:, 3]
+    pos = vlps[:, :3]
+    radius = 16.0 * jnp.sqrt(jnp.maximum(vi, 0.0))
+    ok = vi > 0
+    big = jnp.float32(3.4e38)
+    lo = jnp.where(ok[:, None], pos - radius[:, None], big)
+    hi = jnp.where(ok[:, None], pos + radius[:, None], -big)
+    return jnp.min(lo, axis=0), jnp.max(hi, axis=0)
+
+
+def vlp_grid_static_res(n_vlp_total: int, modifier: float = 3.0,
+                        max_res: int = 24):
+    """Static grid resolution for the VLP grid.
+
+    The reference computes the resolution from the reduced bounding box ON
+    THE HOST (vlpgrid .c:629-636) - the only mid-pipeline device->host sync
+    in the codebase.  Shapes must be static under jit, so the rebuild uses a
+    cubic resolution from the (static) VLP count alone and computes the
+    (dynamic) cell size on device; the grid stays device-resident end to end.
+    """
+    r = int(np.floor(np.cbrt(max(1.0, modifier * n_vlp_total))))
+    r = max(1, min(r, max_res))
+    return (r, r, r)
+
+
+def build_vlp_grid(vlps, res, cap: int = gridmod.MAX_NELS_PER_CELL):
+    """initVLPsGrid (metropolispathtracer.ocl:626-647) without atomics:
+    AABBs = pos +- 16*sqrt(I), per-cell scan build (deterministic)."""
+    vmin, vmax = vlp_bounds(vlps)
+    cell = (vmax - vmin) / jnp.asarray(res, jnp.float32)
+    cell = jnp.maximum(cell, 1e-6)
+    vi = vlps[:, 3]
+    radius = 16.0 * jnp.sqrt(jnp.maximum(vi, 0.0))
+    ok = vi > 0
+    # dead VLPs get an empty AABB far outside the grid
+    far = jnp.float32(3.0e38)
+    amin = jnp.where(ok[:, None], vlps[:, :3] - radius[:, None], far)
+    amax = jnp.where(ok[:, None], vlps[:, :3] + radius[:, None], far)
+    return gridmod.build_grid_cellscan(amin, amax, vmin, cell, res, cap=cap)
+
+
+def gather_vlps_grid(x, n, vlps, grid: gridmod.UniformGrid):
+    """Grid-limited VLP gather (vlpgrid Sample, metropolispathtracer.ocl
+    vlpgrid:326-349): only the shading point's cell contributes; points
+    outside the grid get nothing.  NOTE: the reference computes the cell
+    index WITHOUT clamping and only checks the flattened index range
+    (ocl:327-329), so out-of-box points can alias into valid cells; the
+    rebuild bounds-checks each axis (intended math)."""
+    rx, ry, rz = grid.res
+    c = jnp.floor((x - grid.vmin) / grid.cell_size).astype(jnp.int32)
+    in_box = jnp.all((c >= 0) & (c < jnp.asarray(grid.res, jnp.int32)),
+                     axis=-1)
+    cell = jnp.clip(c[..., 2] * (rx * ry) + c[..., 1] * rx + c[..., 0],
+                    0, rx * ry * rz - 1)
+    cnt = grid.counts[cell]
+    cap = grid.items.shape[1]
+
+    def body(kk, illum):
+        idx = grid.items[cell, kk]
+        live = in_box & (kk < cnt) & (idx >= 0)
+        v = vlps[jnp.maximum(idx, 0)]     # (R, 4)
+        diff = v[:, :3] - x
+        dist2 = jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12)
+        lamb = jnp.sum(diff * n, axis=-1) / jnp.sqrt(dist2)
+        contrib = jnp.where(live & (v[:, 3] > 0) & (lamb >= 0),
+                            lamb * jnp.minimum(v[:, 3] / dist2, 1.0), 0.0)
+        return illum + contrib
+
+    return jax.lax.fori_loop(0, cap, body, jnp.zeros(x.shape[0], jnp.float32))
