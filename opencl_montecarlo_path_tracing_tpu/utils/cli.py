@@ -1,0 +1,178 @@
+"""Command-line parity with the reference binaries.
+
+Each reference variant is a standalone binary taking positional args and
+reading scene text files from the current directory (SURVEY.md section 2 CLI
+table).  Here every variant is a subcommand with the same positionals:
+
+    python -m opencl_montecarlo_path_tracing_tpu simplecpu [w] [h]
+    python -m ... simple        [w] [h] [lws0]
+    python -m ... super         [w] [h]
+    python -m ... superlmem     [w] [h]
+    python -m ... nodof         [w] [h]
+    python -m ... trianglegrid  [w] [h] [CELL_SIZE_MODIFIER]
+    python -m ... bidirectional [w] [h] [N_VLP_per_light]
+    python -m ... metropolis    [w] [h] [nseedpaths] [mutation_rounds]
+    python -m ... metropolis_vlpgrid [w] [h] [nseedpaths] [mutation_rounds]
+                                     [CELL_SIZE_MODIFIER]
+
+Keyword options extend the reference surface: --scene-dir, --spp, --seed,
+--out, --quirks {default,reference}.  The lws0 positional of the simple
+tracer is accepted and ignored (TPU has no work-group size); device
+selection honours PT_PLATFORM / PT_DEVICE like the reference's OCL_PLATFORM
+/ OCL_DEVICE env vars (ocl_boiler.h:54-131).
+
+Output: a PAM (P7) RGBA file (default result.ppm) plus a per-stage timing
+report in the reference's format (e.g. CLSuperPathTracer.c:321-325).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _select_device():
+    platform = os.environ.get("PT_PLATFORM")
+    device = os.environ.get("PT_DEVICE")
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    devs = jax.devices()
+    idx = int(device) if device else 0
+    if idx >= len(devs):
+        print(f"no device {idx}; have {len(devs)}", file=sys.stderr)
+        sys.exit(1)
+    print(f"Using device: {devs[idx]}")
+    return devs[idx]
+
+
+def _positional(args, i, default, cast=int):
+    return cast(args[i]) if len(args) > i else default
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    ap = argparse.ArgumentParser(
+        prog="opencl_montecarlo_path_tracing_tpu",
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("variant", choices=[
+        "simplecpu", "simple", "super", "superlmem", "nodof", "trianglegrid",
+        "bidirectional", "metropolis", "metropolis_vlpgrid"])
+    ap.add_argument("positionals", nargs="*")
+    ap.add_argument("--scene-dir", default=".")
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--quirks", choices=["default", "reference"],
+                    default="default")
+    ns = ap.parse_args(argv)
+    pos = ns.positionals
+
+    from ..core.quirks import DEFAULT, REFERENCE
+    from ..core.rng import make_key
+    from .pam import ImgInfo, save_pam, film_to_rgba8
+    from .profiling import StageTimer
+
+    quirks = REFERENCE if ns.quirks == "reference" else DEFAULT
+    # the reference seeds from time/pid/clock/rdtsc (CLSuperPathTracer.c:209)
+    seed = ns.seed if ns.seed is not None else (time.time_ns() & 0x7FFFFFFF)
+    key = make_key(seed)
+    print(f"Seed: {seed}")
+
+    w = _positional(pos, 0, 512)
+    h = _positional(pos, 1, 512)
+    timer = StageTimer()
+    out_name = ns.out or ("resultCPU.ppm" if ns.variant == "simplecpu"
+                          else "result.ppm")
+
+    if ns.variant == "simplecpu":
+        from ..models.oracle import render_oracle
+        w = _positional(pos, 0, 256)
+        h = _positional(pos, 1, 256)
+        t0 = time.perf_counter()
+        film = render_oracle(w, h, spp=ns.spp, seed=seed, gpu_layout=False)
+        timer.record("rendering (host)", (time.perf_counter() - t0) * 1e3,
+                     items=w * h, item_label="float", data_size=w * h * 4)
+    else:
+        _select_device()
+        from ..scene.scene import load_scene
+
+        if ns.variant == "simple":
+            from ..models.simple import render_simple
+            film = timer.run(
+                "rendering", lambda: render_simple(key, w, h, spp=ns.spp,
+                                                   quirks=quirks),
+                items=w * h, item_label="pixels", data_size=w * h * 4)
+        else:
+            scene = load_scene(ns.scene_dir)
+            print(f"Number of triangles: {scene.n_triangles}")
+            print(f"Number of lights: {scene.n_lights}")
+            if ns.variant in ("super", "superlmem"):
+                from ..models.super import render_super
+                film = timer.run(
+                    "rendering", lambda: render_super(key, scene, w, h,
+                                                      spp=ns.spp,
+                                                      quirks=quirks),
+                    items=w * h, item_label="pixels", data_size=w * h * 4)
+            elif ns.variant == "nodof":
+                from ..models.sample_parallel import render_sample_parallel
+                img = timer.run(
+                    "rendering+reduction",
+                    lambda: render_sample_parallel(key, scene, w, h,
+                                                   sample_grid=8,
+                                                   quirks=quirks),
+                    items=w * h * 64, item_label="samples",
+                    data_size=w * h * 64 * 16)
+                film = None
+            elif ns.variant == "trianglegrid":
+                from ..models.trianglegrid import render_trianglegrid
+                mod = _positional(pos, 2, 3.0, float)
+                film = timer.run(
+                    "grid init + rendering",
+                    lambda: render_trianglegrid(key, scene, w, h, spp=ns.spp,
+                                                cell_size_modifier=mod,
+                                                quirks=quirks),
+                    items=w * h, item_label="pixels", data_size=w * h * 4)
+            elif ns.variant == "bidirectional":
+                from ..models.bidirectional import render_bidirectional
+                n_vlp = _positional(pos, 2, 512)
+                film = timer.run(
+                    "light pass + rendering",
+                    lambda: render_bidirectional(key, scene, w, h,
+                                                 spp=ns.spp, n_vlp=n_vlp,
+                                                 quirks=quirks),
+                    items=w * h, item_label="pixels", data_size=w * h * 4)
+            elif ns.variant in ("metropolis", "metropolis_vlpgrid"):
+                from ..models.metropolis import render_metropolis
+                n_seed = _positional(pos, 2, 512)
+                rounds = _positional(pos, 3, 8)
+                mod = _positional(pos, 4, 3.0, float)
+                film = timer.run(
+                    "light pass + metropolis + rendering",
+                    lambda: render_metropolis(
+                        key, scene, w, h, spp=ns.spp, n_seedpaths=n_seed,
+                        mutation_rounds=rounds, quirks=quirks,
+                        use_grid=ns.variant.endswith("vlpgrid"),
+                        grid_modifier=mod),
+                    items=w * h, item_label="pixels", data_size=w * h * 4)
+
+    if ns.variant == "nodof":
+        rgba = np.asarray(img)
+    else:
+        rgba = film_to_rgba8(np.asarray(film), wrap=quirks.wrap_uint8)
+    t0 = time.perf_counter()
+    save_pam(out_name, ImgInfo(width=w, height=h, channels=4, data=rgba))
+    timer.record("write render data", (time.perf_counter() - t0) * 1e3,
+                 items=w * h * 4, item_label="uchar", data_size=w * h * 4)
+    print(f"\nSuccessfully created render image {out_name} in the current "
+          "directory\n")
+    timer.print_report()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+import numpy as np
+
+from opencl_montecarlo_path_tracing_tpu.core.rng import make_key
+from opencl_montecarlo_path_tracing_tpu.models.bidirectional import (
+    render_bidirectional,
+)
+from opencl_montecarlo_path_tracing_tpu.models.metropolis import (
+    render_metropolis, mlt_vlps,
+)
+from opencl_montecarlo_path_tracing_tpu.ops.intersect import prep_scene
+from tests.test_render_super import small_scene
+
+
+def test_bidirectional_smoke_and_determinism():
+    key = make_key(41)
+    scene = small_scene()
+    a = np.asarray(render_bidirectional(key, scene, 16, 16, spp=2, n_vlp=64))
+    b = np.asarray(render_bidirectional(key, scene, 16, 16, spp=2, n_vlp=64))
+    assert a.shape == (16, 16, 3)
+    assert np.isfinite(a).all()
+    assert a.max() > 0
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bidirectional_spp_window_composition():
+    key = make_key(42)
+    scene = small_scene()
+    full = np.asarray(render_bidirectional(key, scene, 8, 8, spp=4, n_vlp=32))
+    a = np.asarray(render_bidirectional(key, scene, 8, 8, spp=2, n_vlp=32,
+                                        spp_offset=0, spp_total=4))
+    b = np.asarray(render_bidirectional(key, scene, 8, 8, spp=2, n_vlp=32,
+                                        spp_offset=2, spp_total=4))
+    np.testing.assert_allclose(a + b, full, rtol=0, atol=1e-4)
+
+
+def test_bidirectional_grid_variant_runs():
+    key = make_key(43)
+    scene = small_scene()
+    f = np.asarray(render_bidirectional(key, scene, 8, 8, spp=1, n_vlp=32,
+                                        use_grid=True))
+    assert np.isfinite(f).all()
+
+
+def test_mlt_vlps_structure():
+    # live VLPs need a surface lit from behind its normal (see
+    # tests/test_vlp.py::vlp_scene): a square directly above the light
+    from tests.test_vlp import vlp_scene
+    scn = prep_scene(vlp_scene())
+    vlps = np.asarray(mlt_vlps(make_key(5), scn, n_seedpaths=256,
+                               mutation_rounds=3))
+    # nlights(1) * nseed(256) * 4 slots
+    assert vlps.shape == (1024, 4)
+    assert np.isfinite(vlps).all()
+    live = vlps[:, 3] > 0
+    assert live.any()
+    # depth-halved intensity: max is base(400 floor)/(1<<0)/den; here the
+    # emitting surface is a square (material 3, base 40), den = max(1,
+    # 256 // 256) = 1
+    assert vlps[:, 3].max() <= 400.0 + 1e-4
+    assert (vlps[:, 3] >= 0).all()
+
+
+def test_metropolis_render_smoke():
+    key = make_key(44)
+    scene = small_scene()
+    a = np.asarray(render_metropolis(key, scene, 12, 12, spp=1,
+                                     n_seedpaths=32, mutation_rounds=2))
+    assert a.shape == (12, 12, 3)
+    assert np.isfinite(a).all()
+    b = np.asarray(render_metropolis(key, scene, 12, 12, spp=1,
+                                     n_seedpaths=32, mutation_rounds=2))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_metropolis_vlpgrid_variant_runs():
+    key = make_key(45)
+    f = np.asarray(render_metropolis(key, small_scene(), 8, 8, spp=1,
+                                     n_seedpaths=16, mutation_rounds=2,
+                                     use_grid=True))
+    assert np.isfinite(f).all()
+
+
+def test_metropolis_exact_verify_rejects_mutations():
+    """verify_eps=0 reproduces the reference's exact-equality rejection; the
+    render still works (mutations rejected, vertex additions still happen)."""
+    key = make_key(46)
+    f = np.asarray(render_metropolis(key, small_scene(), 8, 8, spp=1,
+                                     n_seedpaths=16, mutation_rounds=2,
+                                     verify_eps=0.0))
+    assert np.isfinite(f).all()

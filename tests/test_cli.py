@@ -1,0 +1,74 @@
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from opencl_montecarlo_path_tracing_tpu.utils import pam
+from tests.conftest import REFERENCE_DIR, reference_available
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd):
+    env = dict(os.environ)
+    env["PT_PLATFORM"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "opencl_montecarlo_path_tracing_tpu"] + args,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=600)
+
+
+def test_cli_simple(tmp_path):
+    r = run_cli(["simple", "32", "32", "8", "--spp", "2", "--seed", "1"],
+                cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    img = pam.load_pam(str(tmp_path / "result.ppm"))
+    assert (img.width, img.height) == (32, 32)
+    assert "rendering" in r.stdout and "GB/s" in r.stdout
+
+
+def test_cli_simplecpu(tmp_path):
+    r = run_cli(["simplecpu", "16", "16", "--spp", "2", "--seed", "1"],
+                cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    img = pam.load_pam(str(tmp_path / "resultCPU.ppm"))
+    assert (img.width, img.height) == (16, 16)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_cli_super_on_reference_scene(tmp_path):
+    scene_dir = os.path.join(REFERENCE_DIR, "CLSuperPathTracer")
+    r = run_cli(["super", "24", "24", "--spp", "2", "--seed", "3",
+                 "--scene-dir", scene_dir], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "Number of triangles: 96" in r.stdout
+    img = pam.load_pam(str(tmp_path / "result.ppm"))
+    assert np.asarray(img.data)[..., 3].min() == 255
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_cli_all_variants_smoke(tmp_path):
+    scene_dir = os.path.join(REFERENCE_DIR, "CLSuperPathTracer")
+    variants = [
+        ["superlmem", "16", "16"],
+        ["nodof", "8", "8"],
+        ["trianglegrid", "12", "12", "2.5"],
+        ["bidirectional", "12", "12", "32"],
+        ["metropolis", "8", "8", "16", "2"],
+        ["metropolis_vlpgrid", "8", "8", "16", "2", "3.0"],
+    ]
+    for v in variants:
+        r = run_cli(v + ["--spp", "1", "--seed", "2",
+                         "--scene-dir", scene_dir], cwd=str(tmp_path))
+        assert r.returncode == 0, (v, r.stderr[-2000:])
+        assert os.path.exists(tmp_path / "result.ppm")
+        os.unlink(tmp_path / "result.ppm")
+
+
+def test_cli_quirks_mode(tmp_path):
+    r = run_cli(["simple", "16", "16", "--spp", "1", "--seed", "1",
+                 "--quirks", "reference"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
