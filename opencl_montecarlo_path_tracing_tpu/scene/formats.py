@@ -48,8 +48,21 @@ def _atoi(line: str) -> int:
     return int(s[:j] if i == 0 else s[:j])
 
 
+def _native():
+    import os
+    if os.environ.get("PT_NO_NATIVE", "") == "1":
+        return None
+    from ..utils import native
+    return native
+
+
 def parse_array_file(path: str) -> np.ndarray:
     """9-int bitmap file (parseArrayFromFile, CLSuperPathTracer.c:62-74)."""
+    nat = _native()
+    if nat is not None:
+        got = nat.parse_bitmap(path)
+        if got is not None:
+            return got
     out = np.zeros(9, np.int64)
     with open(path) as fp:
         lines = fp.readlines()
@@ -65,6 +78,11 @@ def parse_triangles_file(path: str, max_triangles: int = MAX_TRIANGLES) -> np.nd
     triangle (9 coordinate lines + 4 separators); a final frame with all 9
     coordinate lines but missing trailing separators is still accepted.
     """
+    nat = _native()
+    if nat is not None:
+        got = nat.parse_triangles(path, max_triangles)
+        if got is not None:
+            return got
     with open(path) as fp:
         lines = fp.readlines()
     tris = []
@@ -95,6 +113,11 @@ def parse_lights_file(path: str, max_lights: int = MAX_LIGHTS) -> np.ndarray:
 
     Returns (n, 4) float32: x, y, z, intensity.
     """
+    nat = _native()
+    if nat is not None:
+        got = nat.parse_lights(path, max_lights)
+        if got is not None:
+            return got
     with open(path) as fp:
         lines = [ln for ln in fp.readlines()]
     out = []

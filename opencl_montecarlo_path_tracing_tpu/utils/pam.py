@@ -49,10 +49,25 @@ def _header_bytes(img: ImgInfo) -> bytes:
     )
 
 
+def _native_enabled() -> bool:
+    import os
+    return os.environ.get("PT_NO_NATIVE", "") != "1"
+
+
 def save_pam(fname: str, img: ImgInfo) -> None:
     """Write a PAM file. ``img.data`` is the flat sample array; 3-channel
     data must already be padded to 4 in memory (pamalign.h:187) - the writer
-    skips every 4th sample in that case, matching pamalign.h:226-234."""
+    skips every 4th sample in that case, matching pamalign.h:226-234.
+
+    Uses the native C++ writer (native/pamscene.cpp) when available; this
+    Python path is the fallback and semantics oracle."""
+    if _native_enabled():
+        from . import native
+        data = np.asarray(img.data)
+        data = data.astype(np.uint16 if img.depth == 16 else np.uint8)
+        if native.pam_write(fname, img.width, img.height, img.channels,
+                            img.maxval, img.depth, data):
+            return
     data = np.asarray(img.data)
     if img.depth == 8:
         data = data.astype(np.uint8)
@@ -70,6 +85,16 @@ def save_pam(fname: str, img: ImgInfo) -> None:
 
 
 def load_pam(fname: str) -> ImgInfo:
+    if _native_enabled():
+        from . import native
+        got = native.pam_read(fname)
+        if got is not None:
+            w, h, ch, mv, samples = got
+            mem_ch = ch + (1 if ch == 3 else 0)
+            return ImgInfo(width=w, height=h, channels=ch, maxval=mv,
+                           depth=16 if mv > 255 else 8,
+                           data=samples.reshape(h, w, mem_ch)
+                           if mem_ch > 1 else samples.reshape(h, w))
     with open(fname, "rb") as fp:
         raw = fp.read()
     if not raw.startswith(b"P7\n"):
