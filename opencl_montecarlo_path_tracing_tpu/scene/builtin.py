@@ -58,6 +58,42 @@ def procedural_super_scene() -> Scene:
     )
 
 
+def write_scene_files(scene: Scene, directory: str) -> None:
+    """Export a Scene to the reference text formats (SURVEY.md section 2.9)
+    so any tool speaking those formats - including the reference binaries -
+    can consume it."""
+    os.makedirs(directory, exist_ok=True)
+
+    def bitmap(pairs):
+        bits = [0] * 9
+        for k, j in pairs:
+            bits[int(round(j))] |= 1 << int(round(k))
+        return bits
+
+    # spheres at (k, 0, j+4); squares stored as (k, j)
+    sph = bitmap((c[0], c[2] - 4.0) for c in scene.sphere_centers)
+    sq = bitmap((s[0], s[1]) for s in scene.square_kj)
+    with open(os.path.join(directory, "spheres.txt"), "w") as fp:
+        fp.write("\n".join(str(b) for b in sph))
+    with open(os.path.join(directory, "squares.txt"), "w") as fp:
+        fp.write("\n".join(str(b) for b in sq))
+    with open(os.path.join(directory, "triangles.txt"), "w") as fp:
+        frames = []
+        for tri in scene.triangles:
+            lines = []
+            for v in tri:
+                lines.extend(f"{float(c):.6f}" for c in v)
+                lines.append("")
+            lines.append("")
+            frames.append("\n".join(lines))
+        fp.write("\n".join(frames).rstrip("\n"))
+    with open(os.path.join(directory, "lights.txt"), "w") as fp:
+        vals = []
+        for l in scene.lights:
+            vals.extend(f"{float(c):g}" for c in l)
+        fp.write("\n".join(vals))
+
+
 def demo_scene(prefer_reference: bool = True) -> tuple[Scene, str]:
     """Returns (scene, source_tag)."""
     if prefer_reference and os.path.isdir(REFERENCE_SUPER_DIR):
