@@ -22,7 +22,7 @@ import numpy as np
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "1024"))
-    spp = int(os.environ.get("BENCH_SPP", "256"))
+    spp = int(os.environ.get("BENCH_SPP", "1024"))  # north-star config
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     from opencl_montecarlo_path_tracing_tpu.core.rng import make_key
