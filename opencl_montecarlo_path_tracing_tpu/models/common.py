@@ -72,28 +72,37 @@ def reflect(d, n):
     return d + n * (dot(n, d) * (-2.0))[..., None]
 
 
-def pixel_grid(width: int, height: int):
+def pixel_grid(width: int, height: int, row_offset=0, rows: int | None = None):
     """Flattened pixel coordinate arrays (i = x/gid0, j = y/gid1), row-major
-    so film.reshape(H, W) matches img[j*W + i]."""
-    jj, ii = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+    so film.reshape(rows, W) matches img[j*W + i].  ``row_offset`` (may be a
+    traced value) and ``rows`` select a horizontal band - the unit of
+    image-axis sharding."""
+    if rows is None:
+        rows = height
+    jj, ii = jnp.meshgrid(jnp.arange(rows, dtype=jnp.float32),
                           jnp.arange(width, dtype=jnp.float32), indexing="ij")
+    jj = jj + jnp.asarray(row_offset, jnp.float32)
     return ii.reshape(-1), jj.reshape(-1)
 
 
 def accumulate_spp(sample_fn, width: int, height: int, spp: int,
                    spp_offset: int = 0, spp_total: int | None = None,
+                   row_offset=0, rows: int | None = None,
                    unroll: int = 1):
     """Run ``sample_fn(sample_index, i, j, ray_id) -> (R, 3)`` for
-    ``spp`` samples and return the pre-ambient film (H, W, 3) float32
+    ``spp`` samples and return the pre-ambient film (rows, W, 3) float32
     (sum of samples * EXPOSURE, matching pathtracer.ocl:237).
 
-    ``spp_offset``/``spp_total`` define the global sample-index window so a
-    sharded render over the spp axis reproduces the single-device image
-    bit-for-bit (counter-based RNG keyed on pixel * spp_total + sample).
+    ``spp_offset``/``spp_total`` define the global sample-index window and
+    ``row_offset``/``rows`` the image band, so a render sharded over spp
+    and/or image rows reproduces the single-device image bit-for-bit
+    (counter-based RNG keyed on pixel * spp_total + sample).
     """
     if spp_total is None:
         spp_total = spp
-    ii, jj = pixel_grid(width, height)
+    if rows is None:
+        rows = height
+    ii, jj = pixel_grid(width, height, row_offset, rows)
     pixel_index = (jj * width + ii).astype(jnp.uint32)
     stride = jnp.uint32(spp_total)
 
@@ -104,9 +113,9 @@ def accumulate_spp(sample_fn, width: int, height: int, spp: int,
         return film + color
 
     film = jax.lax.fori_loop(0, spp, body,
-                             jnp.zeros((width * height, 3), jnp.float32),
+                             jnp.zeros((width * rows, 3), jnp.float32),
                              unroll=unroll)
-    return (film * EXPOSURE).reshape(height, width, 3)
+    return (film * EXPOSURE).reshape(rows, width, 3)
 
 
 def bounce_loop(step_fn, init_state, max_bounces: int = MAX_BOUNCES):

@@ -165,16 +165,18 @@ def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
 
 
 def film_super(key, scn: SceneArrays, width, height, spp, spp_offset,
-               spp_total, quirks, max_bounces=C.MAX_BOUNCES):
-    """Unjitted film body (pre-ambient (H, W, 3) float32).
+               spp_total, quirks, max_bounces=C.MAX_BOUNCES,
+               row_offset=0, rows=None):
+    """Unjitted film body (pre-ambient (rows, W, 3) float32).
 
     ``scn`` is a *numpy* SceneArrays whose values are baked into the trace
     as literals (the key to fusing the primitive scan - see ops/intersect).
-    ``spp_offset`` may be a traced value - the sharded renderer passes
-    axis_index * local_spp (parallel/mesh.py)."""
+    ``spp_offset``/``row_offset`` may be traced values - the sharded
+    renderers pass axis_index-derived offsets (parallel/mesh.py)."""
     sample_fn = functools.partial(sample_super, key, scn, quirks, max_bounces)
     return C.accumulate_spp(sample_fn, width, height, spp,
-                            spp_offset=spp_offset, spp_total=spp_total)
+                            spp_offset=spp_offset, spp_total=spp_total,
+                            row_offset=row_offset, rows=rows)
 
 
 # compiled-render cache: the scene is a compile-time constant, so jitted

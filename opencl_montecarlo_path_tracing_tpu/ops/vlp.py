@@ -106,40 +106,35 @@ def emit_vlps(key, scn: SceneArrays, n_vlp: int, quirks: Quirks = DEFAULT,
     return jnp.concatenate(out, axis=0)
 
 
-def gather_vlps(x, n, vlps, ray_chunk: int = 1 << 15):
+def gather_vlps(x, n, vlps):
     """Dense VLP gather: sum over ALL VLPs of max(lamb, 0) * min(I/d^2, 1)
     with no shadow rays (Sample's VLP loop, ocl:166-187).
 
-    The (rays x VLPs) bilinear terms run as two matmuls on the MXU; rays are
-    chunked so the (C, V) working set stays on-chip-sized.
+    Expressed as a fori scan over VLPs with rays on the vector lanes - the
+    per-VLP scalars broadcast against (R,) arrays, everything fuses into a
+    single VMEM-resident pass (no (rays x VLPs) HBM temporaries, the same
+    structure as the triangle scan in ops/intersect.py).
     """
-    R = x.shape[0]
-    vp = vlps[:, :3]                      # (V, 3)
-    vi = vlps[:, 3]                       # (V,)
-    vp_sq = jnp.sum(vp * vp, axis=-1)     # (V,)
+    xx, xy, xz = x[..., 0], x[..., 1], x[..., 2]
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    n_dot_x = nx * xx + ny * xy + nz * xz
+    x_sq = xx * xx + xy * xy + xz * xz
 
-    def chunk_fn(args):
-        xc, nc = args                     # (C, 3) each
-        # lamb numerator: n . (vlp - x) = n @ vp^T - (n . x)
-        g_n = jnp.dot(nc, vp.T, preferred_element_type=jnp.float32)
-        g_x = jnp.dot(xc, vp.T, preferred_element_type=jnp.float32)
-        nx = jnp.sum(nc * xc, axis=-1, keepdims=True)
-        xx = jnp.sum(xc * xc, axis=-1, keepdims=True)
-        lamb_num = g_n - nx               # (C, V)
-        dist2 = jnp.maximum(vp_sq - 2.0 * g_x + xx, 1e-12)
+    def body(i, illum):
+        v = jax.lax.dynamic_slice(vlps, (i, 0), (1, 4))[0]
+        vi = v[3]
+        # n.(p - x) and |p - x|^2 expanded so only scalar-broadcast ops run
+        lamb_num = (nx * v[0] + ny * v[1] + nz * v[2]) - n_dot_x
+        dist2 = jnp.maximum(
+            (v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+            - 2.0 * (xx * v[0] + xy * v[1] + xz * v[2]) + x_sq, 1e-12)
         lamb = lamb_num / jnp.sqrt(dist2)
         contrib = jnp.where((vi > 0) & (lamb >= 0),
                             lamb * jnp.minimum(vi / dist2, 1.0), 0.0)
-        return jnp.sum(contrib, axis=-1)
+        return illum + contrib
 
-    if R <= ray_chunk:
-        return chunk_fn((x, n))
-    pad = (-R) % ray_chunk
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
-    np_ = jnp.pad(n, ((0, pad), (0, 0)))
-    out = jax.lax.map(chunk_fn, (xp.reshape(-1, ray_chunk, 3),
-                                 np_.reshape(-1, ray_chunk, 3)))
-    return out.reshape(-1)[:R]
+    return jax.lax.fori_loop(0, vlps.shape[0], body,
+                             jnp.zeros(x.shape[:-1], jnp.float32))
 
 
 def vlp_bounds(vlps):

@@ -75,3 +75,41 @@ def render_super_sharded(key, scene: Scene | SceneArrays, width: int,
 
     run = jax.jit(shard_spp(film_fn, mesh, spp))
     return run()
+
+
+def make_mesh_2d(n_rows: int, n_spp: int, devices=None) -> Mesh:
+    """2-D mesh: image rows ('y') x samples ('spp')."""
+    if devices is None:
+        devices = jax.devices()
+    devices = devices[:n_rows * n_spp]
+    return jax.make_mesh((n_rows, n_spp), ("y", "spp"), devices=devices)
+
+
+def render_super_sharded_2d(key, scene: Scene | SceneArrays, width: int,
+                            height: int, spp: int, mesh: Mesh,
+                            quirks: Quirks = DEFAULT,
+                            max_bounces: int = MAX_BOUNCES):
+    """Render sharded over BOTH the image-row axis and the spp axis:
+    each device renders a (rows/n_y) band for its spp window; films are
+    psum-reduced over 'spp' and all-gathered over 'y' (both over ICI).
+    Sample content is identical to the single-device render."""
+    scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    ny = mesh.shape["y"]
+    nspp = mesh.shape["spp"]
+    if height % ny or spp % nspp:
+        raise ValueError(f"height={height} % {ny} or spp={spp} % {nspp} != 0")
+    rows = height // ny
+    local = spp // nspp
+
+    def body():
+        iy = jax.lax.axis_index("y")
+        isp = jax.lax.axis_index("spp")
+        film = film_super(key, scn, width, height, local,
+                          isp * jnp.uint32(local), spp, quirks, max_bounces,
+                          row_offset=iy * jnp.uint32(rows), rows=rows)
+        film = jax.lax.psum(film, "spp")
+        return jax.lax.all_gather(film, "y", axis=0, tiled=True)
+
+    run = jax.jit(shard_map(body, mesh=mesh, in_specs=(), out_specs=P(),
+                            check_vma=False))
+    return run()

@@ -51,6 +51,16 @@ class StageTimer:
                data_size: int):
         self.stages.append(Stage(name, items, item_label, data_size, ms))
 
+    def trace(self, log_dir: str):
+        """Capture a device profile (TensorBoard/XProf format) around a
+        block - the deep-profiling analog of the reference's
+        CL_QUEUE_PROFILING_ENABLE event timing.  Usage:
+
+            with timer.trace("/tmp/pt_trace"):
+                film = render(...); jax.block_until_ready(film)
+        """
+        return jax.profiler.trace(log_dir)
+
     def report(self) -> str:
         lines = []
         total = 0.0

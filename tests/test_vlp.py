@@ -71,7 +71,7 @@ def test_gather_vlps_matches_naive():
     vlps[::5, 3] = 0.0  # dead VLPs skipped
 
     got = np.asarray(V.gather_vlps(jnp.asarray(x), jnp.asarray(n),
-                                   jnp.asarray(vlps), ray_chunk=128))
+                                   jnp.asarray(vlps)))
 
     want = np.zeros(R, np.float64)
     for i in range(Vn):
