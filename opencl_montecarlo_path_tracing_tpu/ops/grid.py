@@ -188,6 +188,23 @@ def build_grid_host(aabb_min, aabb_max, vmin, cell_size, res,
                        vmin=vmin, cell_size=cell_size)
 
 
+def grid_stats(grid: UniformGrid) -> dict:
+    """Debug statistics - the analog of the reference's (disabled)
+    printTrianglesGrid kernel (trianglegrid/pathtracer.ocl:332-346), which
+    prints per-cell members and the total nels."""
+    counts = np.asarray(grid.counts)
+    items = np.asarray(grid.items)
+    return {
+        "ncells": int(counts.size),
+        "total_nels": int(counts.sum()),
+        "occupied_cells": int((counts > 0).sum()),
+        "max_nels": int(counts.max(initial=0)),
+        "mean_nels_occupied": float(counts[counts > 0].mean()) if (counts > 0).any() else 0.0,
+        "capacity": int(items.shape[1]),
+        "res": tuple(grid.res),
+    }
+
+
 def max_cell_occupancy(amin, amax, vmin, cell_size, res) -> int:
     """Host-side max items per cell (vectorised histogram over cell ranges).
     Used to size the static per-cell capacity: iterating 62 slots per DDA

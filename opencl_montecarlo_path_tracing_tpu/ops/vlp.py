@@ -120,20 +120,30 @@ def gather_vlps(x, n, vlps):
     n_dot_x = nx * xx + ny * xy + nz * xz
     x_sq = xx * xx + xy * xy + xz * xz
 
-    def body(i, illum):
-        v = jax.lax.dynamic_slice(vlps, (i, 0), (1, 4))[0]
-        vi = v[3]
-        # n.(p - x) and |p - x|^2 expanded so only scalar-broadcast ops run
-        lamb_num = (nx * v[0] + ny * v[1] + nz * v[2]) - n_dot_x
-        dist2 = jnp.maximum(
-            (v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
-            - 2.0 * (xx * v[0] + xy * v[1] + xz * v[2]) + x_sq, 1e-12)
-        lamb = lamb_num / jnp.sqrt(dist2)
-        contrib = jnp.where((vi > 0) & (lamb >= 0),
-                            lamb * jnp.minimum(vi / dist2, 1.0), 0.0)
-        return illum + contrib
+    # VLPs are consumed in blocks of _BLK per loop iteration (statically
+    # unrolled inside the body) to amortise loop/slice overhead
+    _BLK = 16
+    nv = vlps.shape[0]
+    pad = (-nv) % _BLK
+    vl = jnp.pad(vlps, ((0, pad), (0, 0)))  # padded rows have intensity 0
 
-    return jax.lax.fori_loop(0, vlps.shape[0], body,
+    def body(i, illum):
+        blk = jax.lax.dynamic_slice(vl, (i * _BLK, 0), (_BLK, 4))
+        for j in range(_BLK):
+            v = blk[j]
+            vi = v[3]
+            # n.(p-x) and |p-x|^2 expanded so only scalar-broadcast ops run
+            lamb_num = (nx * v[0] + ny * v[1] + nz * v[2]) - n_dot_x
+            dist2 = jnp.maximum(
+                (v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+                - 2.0 * (xx * v[0] + xy * v[1] + xz * v[2]) + x_sq, 1e-12)
+            lamb = lamb_num / jnp.sqrt(dist2)
+            contrib = jnp.where((vi > 0) & (lamb >= 0),
+                                lamb * jnp.minimum(vi / dist2, 1.0), 0.0)
+            illum = illum + contrib
+        return illum
+
+    return jax.lax.fori_loop(0, (nv + pad) // _BLK, body,
                              jnp.zeros(x.shape[:-1], jnp.float32))
 
 
