@@ -233,6 +233,42 @@ def trace_ray(o, d, scn: SceneArrays, t_init=_BIG, quirks: Quirks = DEFAULT,
     if tri_override is not None:
         t, m, nx, ny, nz, needs_norm = tri_override(
             o, d, t, m, nx, ny, nz, needs_norm)
+    elif triangles and 0 < scn.tri_v0.shape[0] < _MXU_MIN_TRIANGLES:
+        # fori scan, DIVISION-FREE: validity and the running-min comparison
+        # are evaluated on det-scaled quantities (sign-adjusted so the
+        # denominator is positive); the best distance is carried as a
+        # (numerator, denominator) pair and divided once after the loop.
+        table = jnp.asarray(_tri_table(scn))
+        one = jnp.float32(1.0)
+        bn, bd = t, jnp.ones_like(t)
+
+        def tri_body(i, carry):
+            bn, bd, m, nx, ny, nz, needs = carry
+            r = jax.lax.dynamic_slice(table, (i, 0), (1, 12))[0]
+            det, un, vn, tn = _mt_quads_scalar(ox, oy, oz, dx, dy, dz, r)
+            sg = jnp.where(det >= 0, one, -one)
+            dd = det * sg
+            un_s = un * sg
+            vn_s = vn * sg
+            tn_s = tn * sg
+            ok = ((dd >= _EPS) & (un_s >= 0.0) & (un_s <= dd)
+                  & (vn_s >= 0.0) & (un_s + vn_s <= dd))
+            if not quirks.accept_negative_t:
+                ok = ok & (tn_s > _EPS * dd)
+            ok = ok & (tn_s * bd < bn * dd)
+            bn = jnp.where(ok, tn_s, bn)
+            bd = jnp.where(ok, dd, bd)
+            m = jnp.where(ok, 4, m)
+            nx = jnp.where(ok, r[9], nx)
+            ny = jnp.where(ok, r[10], ny)
+            nz = jnp.where(ok, r[11], nz)
+            needs = needs & ~ok
+            return bn, bd, m, nx, ny, nz, needs
+
+        bn, bd, m, nx, ny, nz, needs_norm = jax.lax.fori_loop(
+            0, scn.tri_v0.shape[0], tri_body,
+            (bn, bd, m, nx, ny, nz, needs_norm))
+        t = bn / bd
     elif triangles and scn.tri_v0.shape[0] >= _MXU_MIN_TRIANGLES:
         # MXU path: all pair scalars from one matmul fused with the epilogue
         # and min/argmin inside a Pallas kernel (VMEM-resident); the merge is
@@ -250,27 +286,6 @@ def trace_ray(o, d, scn: SceneArrays, t_init=_BIG, quirks: Quirks = DEFAULT,
         ny = jnp.where(ok, tn[..., 1], ny)
         nz = jnp.where(ok, tn[..., 2], nz)
         needs_norm = needs_norm & ~ok
-    elif triangles and scn.tri_v0.shape[0]:
-        # small meshes: fori scan over 13 scalars per iteration
-        table = jnp.asarray(_tri_table(scn))
-
-        def tri_body(i, carry):
-            t, m, nx, ny, nz, needs = carry
-            r = jax.lax.dynamic_slice(table, (i, 0), (1, 12))[0]
-            ok, rd = _mt_test(ox, oy, oz, dx, dy, dz, r, quirks)
-            ok = ok & (rd < t)
-            t = jnp.where(ok, rd, t)
-            m = jnp.where(ok, 4, m)
-            nx = jnp.where(ok, r[9], nx)
-            ny = jnp.where(ok, r[10], ny)
-            nz = jnp.where(ok, r[11], nz)
-            needs = needs & ~ok
-            return t, m, nx, ny, nz, needs
-
-        t, m, nx, ny, nz, needs_norm = jax.lax.fori_loop(
-            0, scn.tri_v0.shape[0], tri_body,
-            (t, m, nx, ny, nz, needs_norm))
-
     inv_len = jnp.where(
         needs_norm,
         jax_rsqrt(_dot3(nx, ny, nz, nx, ny, nz)),
@@ -335,12 +350,24 @@ def any_hit(o, d, scn: SceneArrays, t_limit=_BIG, quirks: Quirks = DEFAULT,
                                  scn, quirks)
         occ = occ | (tt.reshape(shape) < t_limit)
     elif triangles and scn.tri_v0.shape[0]:
+        # division-free occlusion: all conditions on det-scaled quantities
         table = jnp.asarray(_tri_table(scn))
+        one = jnp.float32(1.0)
 
         def tri_body(i, occ):
             r = jax.lax.dynamic_slice(table, (i, 0), (1, 12))[0]
-            ok, rd = _mt_test(ox, oy, oz, dx, dy, dz, r, quirks)
-            return occ | (ok & (rd < tl))
+            det, un, vn, tn = _mt_quads_scalar(ox, oy, oz, dx, dy, dz, r)
+            sg = jnp.where(det >= 0, one, -one)
+            dd = det * sg
+            un_s = un * sg
+            vn_s = vn * sg
+            tn_s = tn * sg
+            ok = ((dd >= _EPS) & (un_s >= 0.0) & (un_s <= dd)
+                  & (vn_s >= 0.0) & (un_s + vn_s <= dd)
+                  & (tn_s < tl * dd))
+            if not quirks.accept_negative_t:
+                ok = ok & (tn_s > _EPS * dd)
+            return occ | ok
 
         occ = jax.lax.fori_loop(0, scn.tri_v0.shape[0], tri_body, occ)
 
@@ -352,6 +379,23 @@ def _tri_table(scn: SceneArrays) -> np.ndarray:
     return np.concatenate(
         [scn.tri_v0, scn.tri_e0, scn.tri_e2, scn.tri_n], axis=1
     ).astype(np.float32)
+
+
+def _mt_quads_scalar(ox, oy, oz, dx, dy, dz, r):
+    """Moller-Trumbore det-scaled scalars (det, u*det, v*det, t*det) for one
+    packed triangle row against the ray lanes - no divisions."""
+    pvx = dy * r[8] - dz * r[7]
+    pvy = dz * r[6] - dx * r[8]
+    pvz = dx * r[7] - dy * r[6]
+    det = _dot3(r[3], r[4], r[5], pvx, pvy, pvz)
+    tvx, tvy, tvz = ox - r[0], oy - r[1], oz - r[2]
+    un = _dot3(tvx, tvy, tvz, pvx, pvy, pvz)
+    qvx = tvy * r[5] - tvz * r[4]
+    qvy = tvz * r[3] - tvx * r[5]
+    qvz = tvx * r[4] - tvy * r[3]
+    vn = _dot3(dx, dy, dz, qvx, qvy, qvz)
+    tn = _dot3(r[6], r[7], r[8], qvx, qvy, qvz)
+    return det, un, vn, tn
 
 
 def _mt_test(ox, oy, oz, dx, dy, dz, r, quirks: Quirks):
