@@ -83,12 +83,16 @@ def illum_vlp(key, scn: SceneArrays, quirks: Quirks, vlps, grid,
 def film_bidirectional(key, scn: SceneArrays, width, height, spp, spp_offset,
                        spp_total, n_vlp, quirks,
                        max_bounces=C.MAX_BOUNCES, use_grid: bool = False,
-                       grid_modifier: float = 3.0):
+                       grid_modifier: float = 3.0, precomputed_vlps=None,
+                       precomputed_grid=None):
     """Both passes under one program: emit VLPs, (optionally) build the VLP
-    grid on device, render."""
-    vlps = vlpmod.emit_vlps(key, scn, n_vlp, quirks)
-    grid = None
-    if use_grid:
+    grid on device, render.  ``precomputed_vlps``/``precomputed_grid`` let a
+    caller stage the pipeline (per-stage profiling parity with the
+    reference's event timing); by default everything fuses into one jit."""
+    vlps = (precomputed_vlps if precomputed_vlps is not None
+            else vlpmod.emit_vlps(key, scn, n_vlp, quirks))
+    grid = precomputed_grid
+    if use_grid and grid is None:
         res = vlpmod.vlp_grid_static_res(int(vlps.shape[0]), grid_modifier)
         grid = vlpmod.build_vlp_grid(vlps, res)
     illum = functools.partial(illum_vlp, key, scn, quirks, vlps, grid, None)

@@ -54,6 +54,49 @@ def _positional(args, i, default, cast=int):
     return cast(args[i]) if len(args) > i else default
 
 
+def _staged_vlp_render(timer, key, scene, w, h, spp, quirks, kind,
+                       n_vlp=512, n_seed=512, rounds=8, use_grid=False,
+                       grid_modifier=3.0):
+    """Run the VLP pipeline stage by stage with a device sync per stage -
+    observability parity with the reference's per-stage event report (e.g.
+    CLSuperMetropolisPathTracer_vlpgrid/...c:673-705: light pass, metropolis
+    pass, min/max reduction, grid init, render)."""
+    import jax
+    from ..ops.intersect import prep_scene
+    from ..ops import vlp as vlpmod
+
+    scn = prep_scene(scene)
+    if kind == "bpt":
+        emit = jax.jit(lambda k: vlpmod.emit_vlps(k, scn, n_vlp, quirks))
+        vlps = timer.run("light tracer", lambda: emit(key),
+                         items=n_vlp * scn.lights.shape[0],
+                         item_label="VLPs",
+                         data_size=n_vlp * scn.lights.shape[0] * 16)
+    else:
+        from ..models.metropolis import mlt_vlps
+        emit = jax.jit(lambda k: mlt_vlps(k, scn, n_seed, rounds, quirks))
+        vlps = timer.run("light tracer + metropolis", lambda: emit(key),
+                         items=n_seed * scn.lights.shape[0],
+                         item_label="paths",
+                         data_size=n_seed * scn.lights.shape[0] * 64)
+
+    grid = None
+    if use_grid:
+        res = vlpmod.vlp_grid_static_res(int(vlps.shape[0]), grid_modifier)
+        build = jax.jit(lambda v: vlpmod.build_vlp_grid(v, res))
+        grid = timer.run("min/max reduction + VLPs grid init",
+                         lambda: build(vlps),
+                         items=int(np.prod(res)), item_label="cells",
+                         data_size=int(np.prod(res)) * 63 * 4)
+
+    from ..models.bidirectional import film_bidirectional
+    render = jax.jit(lambda k, v, g: film_bidirectional(
+        k, scn, w, h, spp, 0, spp, n_vlp, quirks, use_grid=use_grid,
+        precomputed_vlps=v, precomputed_grid=g))
+    return timer.run("rendering", lambda: render(key, vlps, grid),
+                     items=w * h, item_label="pixels", data_size=w * h * 4)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     ap = argparse.ArgumentParser(
@@ -69,6 +112,11 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--quirks", choices=["default", "reference"],
                     default="default")
+    ap.add_argument("--profile-stages", action="store_true",
+                    help="time the VLP pipeline stage by stage (light pass, "
+                         "box reduction + grid init, render), mirroring the "
+                         "reference's per-stage event report; the default "
+                         "fuses everything into one program")
     ns = ap.parse_args(argv)
     pos = ns.positionals
 
@@ -138,27 +186,40 @@ def main(argv=None):
                                                 quirks=quirks),
                     items=w * h, item_label="pixels", data_size=w * h * 4)
             elif ns.variant == "bidirectional":
-                from ..models.bidirectional import render_bidirectional
                 n_vlp = _positional(pos, 2, 512)
-                film = timer.run(
-                    "light pass + rendering",
-                    lambda: render_bidirectional(key, scene, w, h,
-                                                 spp=ns.spp, n_vlp=n_vlp,
-                                                 quirks=quirks),
-                    items=w * h, item_label="pixels", data_size=w * h * 4)
+                if ns.profile_stages:
+                    film = _staged_vlp_render(
+                        timer, key, scene, w, h, ns.spp, quirks,
+                        kind="bpt", n_vlp=n_vlp)
+                else:
+                    from ..models.bidirectional import render_bidirectional
+                    film = timer.run(
+                        "light pass + rendering",
+                        lambda: render_bidirectional(key, scene, w, h,
+                                                     spp=ns.spp, n_vlp=n_vlp,
+                                                     quirks=quirks),
+                        items=w * h, item_label="pixels",
+                        data_size=w * h * 4)
             elif ns.variant in ("metropolis", "metropolis_vlpgrid"):
-                from ..models.metropolis import render_metropolis
                 n_seed = _positional(pos, 2, 512)
                 rounds = _positional(pos, 3, 8)
                 mod = _positional(pos, 4, 3.0, float)
-                film = timer.run(
-                    "light pass + metropolis + rendering",
-                    lambda: render_metropolis(
-                        key, scene, w, h, spp=ns.spp, n_seedpaths=n_seed,
-                        mutation_rounds=rounds, quirks=quirks,
-                        use_grid=ns.variant.endswith("vlpgrid"),
-                        grid_modifier=mod),
-                    items=w * h, item_label="pixels", data_size=w * h * 4)
+                use_grid = ns.variant.endswith("vlpgrid")
+                if ns.profile_stages:
+                    film = _staged_vlp_render(
+                        timer, key, scene, w, h, ns.spp, quirks,
+                        kind="mlt", n_seed=n_seed, rounds=rounds,
+                        use_grid=use_grid, grid_modifier=mod)
+                else:
+                    from ..models.metropolis import render_metropolis
+                    film = timer.run(
+                        "light pass + metropolis + rendering",
+                        lambda: render_metropolis(
+                            key, scene, w, h, spp=ns.spp, n_seedpaths=n_seed,
+                            mutation_rounds=rounds, quirks=quirks,
+                            use_grid=use_grid, grid_modifier=mod),
+                        items=w * h, item_label="pixels",
+                        data_size=w * h * 4)
 
     if ns.variant == "nodof":
         rgba = np.asarray(img)

@@ -68,6 +68,19 @@ def test_cli_all_variants_smoke(tmp_path):
         os.unlink(tmp_path / "result.ppm")
 
 
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_cli_profile_stages(tmp_path):
+    scene_dir = os.path.join(REFERENCE_DIR, "CLSuperMetropolisPathTracer_vlpgrid")
+    r = run_cli(["metropolis_vlpgrid", "8", "8", "16", "2", "3.0",
+                 "--spp", "1", "--seed", "2", "--scene-dir", scene_dir,
+                 "--profile-stages"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    assert "light tracer + metropolis" in out
+    assert "min/max reduction + VLPs grid init" in out
+    assert "rendering" in out
+
+
 def test_cli_quirks_mode(tmp_path):
     r = run_cli(["simple", "16", "16", "--spp", "1", "--seed", "1",
                  "--quirks", "reference"], cwd=str(tmp_path))

@@ -38,6 +38,18 @@ def test_writer_is_byte_compatible(tmp_path):
         assert a.read() == b.read()
 
 
+def test_roundtrip_16bit(tmp_path):
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 65536, size=(6, 4, 4), dtype=np.uint16)
+    img = pam.ImgInfo(width=4, height=6, channels=4, maxval=65535, depth=16,
+                      data=data)
+    f = str(tmp_path / "x16.ppm")
+    pam.save_pam(f, img)
+    back = pam.load_pam(f)
+    assert back.depth == 16 and back.maxval == 65535
+    np.testing.assert_array_equal(back.data, data)
+
+
 def test_film_to_rgba8_saturate_and_wrap():
     film = np.array([[[-20.0, 100.4, 300.0]]], np.float32)
     sat = pam.film_to_rgba8(film, ambient=(0, 0, 0))
