@@ -22,8 +22,6 @@ produce different images because streams are keyed on work-item ids).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

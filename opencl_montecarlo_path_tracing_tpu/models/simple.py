@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core import rng as rngmod
 from ..core.quirks import Quirks, DEFAULT
-from ..core.camera import Camera, make_camera, primary_rays
+from ..core.camera import make_camera, primary_rays
 from ..ops.intersect import SceneArrays, prep_scene, trace_ray, any_hit
 from ..scene.scene import simple_scene
 from . import common as C

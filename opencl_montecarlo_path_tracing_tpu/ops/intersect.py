@@ -15,8 +15,9 @@ Mpaths/s broadcast vs target >= 100).  The sequential thread of the running
 best-t through every primitive preserves the reference's exact ordering and
 strict-< tie semantics.
 
-For meshes too large to unroll (> _UNROLL_LIMIT triangles) a broadcast
-fallback is used; large meshes should use the uniform grid (ops/grid.py).
+Meshes with >= _MXU_MIN_TRIANGLES triangles route to the fused Pallas MXU
+kernel (ops/pallas_tri.py); larger still should use the uniform grid
+(ops/grid.py).
 
 Semantics preserved exactly (with Quirks toggles, see core/quirks.py):
   floor   (ocl:65-70):   p = -oz/dz, hit if 0.01 < p < t, m=1, n=(0,0,1)
@@ -43,7 +44,6 @@ from ..scene.scene import Scene
 _EPS = np.float32(0.01)
 _BIG = np.float32(1e9)
 _INF = np.float32(np.inf)
-_UNROLL_LIMIT = 512
 
 
 class SceneArrays(NamedTuple):
@@ -142,10 +142,6 @@ class TraceResult(NamedTuple):
     material: jnp.ndarray  # (R,) int32: 0 miss, 1 floor, 2 mirror-sphere,
                            #             3 square/diffuse-sphere, 4 triangle
 
-
-def _c3(a):
-    """numpy row -> three python-float32 literals."""
-    return np.float32(a[0]), np.float32(a[1]), np.float32(a[2])
 
 
 def _dot3(ax, ay, az, bx, by, bz):
@@ -475,29 +471,7 @@ def _mxu_valid(det, un, vn, tn, quirks: Quirks):
     return ok, rd
 
 
-def _triangle_best_mxu(o, d, scn: SceneArrays, quirks: Quirks):
-    """(best_t, best_normal) via the MXU formulation; (R,), (R, 3)."""
-    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
-    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
-    det, un, vn, tn = _mxu_quads(ox, oy, oz, dx, dy, dz, scn)
-    ok, rd = _mxu_valid(det, un, vn, tn, quirks)
-    rd = jnp.where(ok, rd, _INF)
-    idx = jnp.argmin(rd, axis=-1)
-    best = jnp.take_along_axis(rd, idx[..., None], axis=-1)[..., 0]
-    return best, jnp.asarray(scn.tri_n)[idx]
 
-
-def _triangle_any_mxu(o, d, scn: SceneArrays, tl, quirks: Quirks):
-    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
-    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
-    det, un, vn, tn = _mxu_quads(ox, oy, oz, dx, dy, dz, scn)
-    ok, rd = _mxu_valid(det, un, vn, tn, quirks)
-    tl2 = tl[..., None] if getattr(tl, "ndim", 0) else tl
-    return jnp.any(ok & (rd < tl2), axis=-1)
-
-
-# ---------------------------------------------------------------------------
-# broadcast fallback for large meshes (rays x prims dense)
 
 def _cross(a, b):
     return jnp.stack([
@@ -507,24 +481,3 @@ def _cross(a, b):
     ], axis=-1)
 
 
-def _triangle_best_bcast(o, d, scn: SceneArrays, quirks: Quirks):
-    """(best_t, best_normal) via dense Moller-Trumbore; (R,), (R,3)."""
-    e0 = jnp.asarray(scn.tri_e0)
-    e2 = jnp.asarray(scn.tri_e2)
-    pvec = _cross(d[..., None, :], e2)
-    det = jnp.sum(e0 * pvec, -1)
-    ok = jnp.abs(det) >= _EPS
-    inv = 1.0 / jnp.where(ok, det, 1.0)
-    tvec = o[..., None, :] - jnp.asarray(scn.tri_v0)
-    u = jnp.sum(tvec * pvec, -1) * inv
-    ok = ok & (u >= 0.0) & (u <= 1.0)
-    qvec = _cross(tvec, e0)
-    v = jnp.sum(d[..., None, :] * qvec, -1) * inv
-    ok = ok & (v >= 0.0) & (u + v <= 1.0)
-    rd = jnp.sum(e2 * qvec, -1) * inv
-    if not quirks.accept_negative_t:
-        ok = ok & (rd > _EPS)
-    rd = jnp.where(ok, rd, _INF)
-    idx = jnp.argmin(rd, axis=-1)
-    best = jnp.take_along_axis(rd, idx[..., None], axis=-1)[..., 0]
-    return best, jnp.asarray(scn.tri_n)[idx]

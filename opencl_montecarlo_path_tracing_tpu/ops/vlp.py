@@ -11,17 +11,14 @@ Reference (SURVEY.md section 2 #10/#12):
    the shading point's cell (ocl vlpgrid:326-349).
 
 TPU design: emission is one batched trace over (nlights * n_vlp) rays; the
-dense gather is expressed so its inner products run as (rays x 3) @
-(3 x VLPs) matmuls on the MXU, chunked over rays to bound the (R, V)
-working set; the whole pipeline (emit -> reduce box -> build grid -> render)
-stays device-resident - including the VLP bounding-box reduction the
-reference reads back to the host mid-pipeline (vlpgrid .c:609, SURVEY.md
-section 3.5).
+dense gather is a fused fori scan over VLP blocks with rays on the vector
+lanes (no (rays x VLPs) HBM temporaries); the whole pipeline (emit ->
+reduce box -> build grid -> render) stays device-resident - including the
+VLP bounding-box reduction the reference reads back to the host
+mid-pipeline (vlpgrid .c:609, SURVEY.md section 3.5).
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import jax

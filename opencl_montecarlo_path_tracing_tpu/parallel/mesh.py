@@ -16,7 +16,7 @@ single-device image up to float summation order (tested to atol 1e-3).
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

@@ -88,3 +88,24 @@ def test_metropolis_exact_verify_rejects_mutations():
                                      n_seedpaths=16, mutation_rounds=2,
                                      verify_eps=0.0))
     assert np.isfinite(f).all()
+
+
+def test_bidirectional_matches_oracle():
+    """End-to-end statistical agreement with the independent NumPy BPT
+    oracle (different RNGs; both VLP sets and camera samples are Monte
+    Carlo, so agreement is in the means)."""
+    from opencl_montecarlo_path_tracing_tpu.models.oracle_bpt import (
+        render_oracle_bpt,
+    )
+    scene = small_scene()
+    w = h = 24
+    spp = 96
+    n_vlp = 768
+    tpu = np.asarray(render_bidirectional(make_key(61), scene, w, h,
+                                          spp=spp, n_vlp=n_vlp)) / spp
+    orc = render_oracle_bpt(scene, w, h, spp=spp, n_vlp=n_vlp, seed=4) / spp
+    scale = max(1e-6, float(np.abs(orc).mean()))
+    err = float(np.sqrt(((tpu - orc) ** 2).mean()))
+    assert err / scale < 0.12, (err, scale)
+    c = np.corrcoef(tpu.reshape(-1), orc.reshape(-1))[0, 1]
+    assert c > 0.95, c
