@@ -77,6 +77,47 @@ def render_super_sharded(key, scene: Scene | SceneArrays, width: int,
     return run()
 
 
+def render_bidirectional_sharded(key, scene, width: int, height: int,
+                                 spp: int, mesh: Mesh | None = None,
+                                 n_vlp: int = 512,
+                                 quirks: Quirks = DEFAULT,
+                                 use_grid: bool = False):
+    """spp-sharded bidirectional render: every device emits the SAME VLP set
+    (same key -> identical emission, no communication needed) and renders
+    its sample window; films psum over ICI."""
+    from ..models.bidirectional import film_bidirectional
+    scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    if mesh is None:
+        mesh = make_spp_mesh()
+
+    def film_fn(local, offset, total):
+        return film_bidirectional(key, scn, width, height, local, offset,
+                                  total, n_vlp, quirks, use_grid=use_grid)
+
+    return jax.jit(shard_spp(film_fn, mesh, spp))()
+
+
+def render_metropolis_sharded(key, scene, width: int, height: int,
+                              spp: int, mesh: Mesh | None = None,
+                              n_seedpaths: int = 512,
+                              mutation_rounds: int = 8,
+                              quirks: Quirks = DEFAULT,
+                              use_grid: bool = False):
+    """spp-sharded Metropolis render (same replication strategy: chains are
+    keyed on (key, chain id), so every device derives the identical VLPs)."""
+    from ..models.metropolis import film_metropolis
+    scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    if mesh is None:
+        mesh = make_spp_mesh()
+
+    def film_fn(local, offset, total):
+        return film_metropolis(key, scn, width, height, local, offset,
+                               total, n_seedpaths, mutation_rounds, quirks,
+                               use_grid=use_grid)
+
+    return jax.jit(shard_spp(film_fn, mesh, spp))()
+
+
 def make_mesh_2d(n_rows: int, n_spp: int, devices=None) -> Mesh:
     """2-D mesh: image rows ('y') x samples ('spp')."""
     if devices is None:

@@ -46,6 +46,8 @@ def _select_device():
     if idx >= len(devs):
         print(f"no device {idx}; have {len(devs)}", file=sys.stderr)
         sys.exit(1)
+    if idx != 0:
+        jax.config.update("jax_default_device", devs[idx])
     print(f"Using device: {devs[idx]}")
     return devs[idx]
 
@@ -156,7 +158,17 @@ def main(argv=None):
                                                    quirks=quirks),
                 items=w * h, item_label="pixels", data_size=w * h * 4)
         else:
-            scene = load_scene(ns.scene_dir)
+            try:
+                scene = load_scene(ns.scene_dir)
+            except FileNotFoundError as e:
+                # the reference crashes on a missing scene file (e.g. the
+                # NoDoF variant opens a non-existent planes.txt, SURVEY.md
+                # section 2 #7); fail with a message instead
+                print(f"error: missing scene file: {e.filename} "
+                      f"(looked in {ns.scene_dir!r}; need spheres.txt, "
+                      "squares.txt, triangles.txt, lights.txt)",
+                      file=sys.stderr)
+                return 1
             print(f"Number of triangles: {scene.n_triangles}")
             print(f"Number of lights: {scene.n_lights}")
             if ns.variant in ("super", "superlmem"):

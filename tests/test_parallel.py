@@ -35,3 +35,36 @@ def test_sharded_render_subset_mesh():
     f = np.asarray(render_super_sharded(key, scene, 8, 8, 4, mesh))
     single = np.asarray(render_super(key, scene, 8, 8, spp=4))
     np.testing.assert_allclose(f, single, rtol=0, atol=2e-3)
+
+
+def test_sharded_bidirectional_matches_single():
+    from opencl_montecarlo_path_tracing_tpu.models.bidirectional import (
+        render_bidirectional,
+    )
+    from opencl_montecarlo_path_tracing_tpu.parallel.mesh import (
+        render_bidirectional_sharded,
+    )
+    scene = small_scene()
+    key = make_key(23)
+    single = np.asarray(render_bidirectional(key, scene, 8, 8, spp=4,
+                                             n_vlp=32))
+    sharded = np.asarray(render_bidirectional_sharded(
+        key, scene, 8, 8, 4, make_spp_mesh(4), n_vlp=32))
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)
+
+
+def test_sharded_metropolis_matches_single():
+    from opencl_montecarlo_path_tracing_tpu.models.metropolis import (
+        render_metropolis,
+    )
+    from opencl_montecarlo_path_tracing_tpu.parallel.mesh import (
+        render_metropolis_sharded,
+    )
+    scene = small_scene()
+    key = make_key(24)
+    single = np.asarray(render_metropolis(key, scene, 8, 8, spp=4,
+                                          n_seedpaths=16, mutation_rounds=2))
+    sharded = np.asarray(render_metropolis_sharded(
+        key, scene, 8, 8, 4, make_spp_mesh(2), n_seedpaths=16,
+        mutation_rounds=2))
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)
