@@ -109,3 +109,18 @@ def test_bidirectional_matches_oracle():
     assert err / scale < 0.12, (err, scale)
     c = np.corrcoef(tpu.reshape(-1), orc.reshape(-1))[0, 1]
     assert c > 0.95, c
+
+
+def test_metropolis_mutation_rounds_have_effect():
+    """Mutation rounds must change the VLP set (the reference's by-value
+    RNG bug made all rounds replay identical randomness; the rebuild's
+    counter streams give each round fresh draws)."""
+    from tests.test_vlp import vlp_scene
+    scn = prep_scene(vlp_scene())
+    v0 = np.asarray(mlt_vlps(make_key(5), scn, n_seedpaths=512,
+                             mutation_rounds=0))
+    v8 = np.asarray(mlt_vlps(make_key(5), scn, n_seedpaths=512,
+                             mutation_rounds=8))
+    assert v0.shape == v8.shape
+    assert (v0[:, 3] > 0).any() and (v8[:, 3] > 0).any()
+    assert not np.array_equal(v0, v8)
