@@ -109,6 +109,9 @@ def main(argv=None):
         "bidirectional", "metropolis", "metropolis_vlpgrid"])
     ap.add_argument("positionals", nargs="*")
     ap.add_argument("--scene-dir", default=".")
+    ap.add_argument("--triangles-file", default="triangles.txt",
+                    help="alternate mesh in the same format (the reference "
+                         "ships torus.txt to swap in by renaming)")
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--out", default=None)
@@ -159,7 +162,7 @@ def main(argv=None):
                 items=w * h, item_label="pixels", data_size=w * h * 4)
         else:
             try:
-                scene = load_scene(ns.scene_dir)
+                scene = load_scene(ns.scene_dir, triangles=ns.triangles_file)
             except FileNotFoundError as e:
                 # the reference crashes on a missing scene file (e.g. the
                 # NoDoF variant opens a non-existent planes.txt, SURVEY.md

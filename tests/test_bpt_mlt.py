@@ -124,3 +124,17 @@ def test_metropolis_mutation_rounds_have_effect():
     assert v0.shape == v8.shape
     assert (v0[:, 3] > 0).any() and (v8[:, 3] > 0).any()
     assert not np.array_equal(v0, v8)
+
+
+def test_metropolis_spp_window_composition():
+    key = make_key(47)
+    scene = small_scene()
+    full = np.asarray(render_metropolis(key, scene, 8, 8, spp=4,
+                                        n_seedpaths=16, mutation_rounds=2))
+    a = np.asarray(render_metropolis(key, scene, 8, 8, spp=2, spp_offset=0,
+                                     spp_total=4, n_seedpaths=16,
+                                     mutation_rounds=2))
+    b = np.asarray(render_metropolis(key, scene, 8, 8, spp=2, spp_offset=2,
+                                     spp_total=4, n_seedpaths=16,
+                                     mutation_rounds=2))
+    np.testing.assert_allclose(a + b, full, rtol=0, atol=1e-4)

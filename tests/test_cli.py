@@ -85,3 +85,21 @@ def test_cli_quirks_mode(tmp_path):
     r = run_cli(["simple", "16", "16", "--spp", "1", "--seed", "1",
                  "--quirks", "reference"], cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_cli_torus_mesh_swap(tmp_path):
+    """The reference workflow 'swap in torus.txt by renaming' is a flag."""
+    scene_dir = os.path.join(REFERENCE_DIR, "CLSuperPathTracer")
+    r = run_cli(["super", "16", "16", "--spp", "1", "--seed", "3",
+                 "--scene-dir", scene_dir, "--triangles-file", "torus.txt"],
+                cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "Number of triangles: 32" in r.stdout
+
+
+def test_cli_missing_scene_dir_errors_cleanly(tmp_path):
+    r = run_cli(["super", "8", "8", "--scene-dir", str(tmp_path / "nope")],
+                cwd=str(tmp_path))
+    assert r.returncode == 1
+    assert "missing scene file" in r.stderr
