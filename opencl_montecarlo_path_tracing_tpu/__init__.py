@@ -22,3 +22,5 @@ utils/     PAM (P7) image IO byte-compatible with the reference's
 """
 
 __version__ = "0.1.0"
+
+from .api import render, VARIANTS  # noqa: E402,F401

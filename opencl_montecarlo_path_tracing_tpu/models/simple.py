@@ -5,9 +5,9 @@ unrolled bounces, bitmap spheres are mirrors (material 2, spt.ocl:68), floor
 is a lambertian checkerboard, sky above.  Single implicit jittered light at
 (9 + r1, 9 + r2, 16) (spt.ocl:99).
 
-Here: one ray batch per sample, ``lax.while_loop`` over bounces with live
-masks; spheres genuinely multi-bounce so the loop runs until every ray
-terminated (max 5, matching the reference's recursion cap).
+Here: one ray batch per sample and a static 5-iteration bounce loop with
+live masks (spheres genuinely multi-bounce; 5 matches the reference's
+recursion cap, spt.ocl:89).
 """
 
 from __future__ import annotations

@@ -67,3 +67,37 @@ def test_camera_matches_reference_printout():
     gpu = make_camera(z_sign=-1.0)
     np.testing.assert_allclose(gpu.up, -cam.up, atol=1e-7)
     np.testing.assert_allclose(gpu.right, -cam.right, atol=1e-7)
+
+
+def test_primary_rays_match_oracle_ray_gen():
+    """The JAX camera and the independent NumPy oracle generate identical
+    rays from identical uniforms."""
+    import numpy as np
+    from opencl_montecarlo_path_tracing_tpu.core.camera import (
+        make_camera, primary_rays,
+    )
+    from opencl_montecarlo_path_tracing_tpu.models import oracle as O
+
+    f32 = np.float32
+    rng = np.random.default_rng(0)
+    n = 64
+    ii = rng.integers(0, 256, n).astype(f32)
+    jj = rng.integers(0, 256, n).astype(f32)
+    r = rng.random((4, n), f32)
+
+    cam = make_camera(z_sign=-1.0)
+    o_jax, d_jax = primary_rays(cam, ii, jj, r[0], r[1], r[2], r[3])
+
+    # oracle formulation (models/oracle.py render loop)
+    z_vec = np.array([0, 0, -1], f32)
+    fwd = O._normalize(np.array([-6, -16, 0], f32))
+    up = f32(0.002) * O._normalize(np.cross(z_vec, fwd).astype(f32))
+    right = f32(0.002) * O._normalize(np.cross(fwd, up).astype(f32))
+    eye = f32(-256) * (up + right) + fwd
+    pos = np.array([17, 16, 8], f32)
+    delta = up * ((r[0] - 0.5) * 99)[:, None] + right * ((r[1] - 0.5) * 99)[:, None]
+    o_np = pos + delta
+    d_np = O._normalize(-delta + (up * (r[2] + ii)[:, None]
+                                  + right * (jj + r[3])[:, None] + eye) * 16)
+    np.testing.assert_allclose(np.asarray(o_jax), o_np, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_jax), d_np, atol=1e-6)
