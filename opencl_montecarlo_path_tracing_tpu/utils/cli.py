@@ -117,6 +117,12 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--quirks", choices=["default", "reference"],
                     default="default")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="accumulate the film in spp windows, checkpointing "
+                         "to PATH after each; re-running resumes where it "
+                         "left off (bit-identical sample content)")
+    ap.add_argument("--spp-per-step", type=int, default=64,
+                    help="window size for --checkpoint")
     ap.add_argument("--profile-stages", action="store_true",
                     help="time the VLP pipeline stage by stage (light pass, "
                          "box reduction + grid init, render), mirroring the "
@@ -154,12 +160,32 @@ def main(argv=None):
         _select_device()
         from ..scene.scene import load_scene
 
+        def run_maybe_resumable(name, render_fn, scene_arg, **kw):
+            """Either one fused render or checkpointed spp windows."""
+            if not ns.checkpoint:
+                return timer.run(
+                    name,
+                    lambda: render_fn(key, scene_arg, w, h, spp=ns.spp,
+                                      quirks=quirks, **kw),
+                    items=w * h, item_label="pixels", data_size=w * h * 4)
+            from .checkpoint import render_resumable
+            t0 = time.perf_counter()
+            ck = render_resumable(render_fn, key, scene_arg, w, h, ns.spp,
+                                  checkpoint_path=ns.checkpoint,
+                                  spp_per_step=ns.spp_per_step, seed=seed,
+                                  quirks=quirks, **kw)
+            timer.record(f"{name} (checkpointed, {ck.spp_done} spp)",
+                         (time.perf_counter() - t0) * 1e3,
+                         items=w * h, item_label="pixels",
+                         data_size=w * h * 4)
+            return ck.film
+
         if ns.variant == "simple":
             from ..models.simple import render_simple
-            film = timer.run(
-                "rendering", lambda: render_simple(key, w, h, spp=ns.spp,
-                                                   quirks=quirks),
-                items=w * h, item_label="pixels", data_size=w * h * 4)
+            film = run_maybe_resumable(
+                "rendering",
+                lambda k, _scene, ww, hh, **kw: render_simple(k, ww, hh, **kw),
+                None)
         else:
             try:
                 scene = load_scene(ns.scene_dir, triangles=ns.triangles_file)
@@ -176,11 +202,7 @@ def main(argv=None):
             print(f"Number of lights: {scene.n_lights}")
             if ns.variant in ("super", "superlmem"):
                 from ..models.super import render_super
-                film = timer.run(
-                    "rendering", lambda: render_super(key, scene, w, h,
-                                                      spp=ns.spp,
-                                                      quirks=quirks),
-                    items=w * h, item_label="pixels", data_size=w * h * 4)
+                film = run_maybe_resumable("rendering", render_super, scene)
             elif ns.variant == "nodof":
                 from ..models.sample_parallel import render_sample_parallel
                 img = timer.run(
@@ -208,13 +230,9 @@ def main(argv=None):
                         kind="bpt", n_vlp=n_vlp)
                 else:
                     from ..models.bidirectional import render_bidirectional
-                    film = timer.run(
-                        "light pass + rendering",
-                        lambda: render_bidirectional(key, scene, w, h,
-                                                     spp=ns.spp, n_vlp=n_vlp,
-                                                     quirks=quirks),
-                        items=w * h, item_label="pixels",
-                        data_size=w * h * 4)
+                    film = run_maybe_resumable("light pass + rendering",
+                                               render_bidirectional, scene,
+                                               n_vlp=n_vlp)
             elif ns.variant in ("metropolis", "metropolis_vlpgrid"):
                 n_seed = _positional(pos, 2, 512)
                 rounds = _positional(pos, 3, 8)
@@ -227,14 +245,11 @@ def main(argv=None):
                         use_grid=use_grid, grid_modifier=mod)
                 else:
                     from ..models.metropolis import render_metropolis
-                    film = timer.run(
+                    film = run_maybe_resumable(
                         "light pass + metropolis + rendering",
-                        lambda: render_metropolis(
-                            key, scene, w, h, spp=ns.spp, n_seedpaths=n_seed,
-                            mutation_rounds=rounds, quirks=quirks,
-                            use_grid=use_grid, grid_modifier=mod),
-                        items=w * h, item_label="pixels",
-                        data_size=w * h * 4)
+                        render_metropolis, scene, n_seedpaths=n_seed,
+                        mutation_rounds=rounds, use_grid=use_grid,
+                        grid_modifier=mod)
 
     if ns.variant == "nodof":
         rgba = np.asarray(img)

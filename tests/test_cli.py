@@ -103,3 +103,27 @@ def test_cli_missing_scene_dir_errors_cleanly(tmp_path):
                 cwd=str(tmp_path))
     assert r.returncode == 1
     assert "missing scene file" in r.stderr
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_cli_checkpoint_resume(tmp_path):
+    scene_dir = os.path.join(REFERENCE_DIR, "CLSuperPathTracer")
+    ck = str(tmp_path / "film.npz")
+    args = ["super", "16", "16", "--spp", "4", "--seed", "5",
+            "--scene-dir", scene_dir, "--checkpoint", ck,
+            "--spp-per-step", "2"]
+    r = run_cli(args, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "checkpointed, 4 spp" in r.stdout
+    img1 = pam.load_pam(str(tmp_path / "result.ppm")).data.copy()
+    # re-run: resumes (no-op) and writes the same image
+    r = run_cli(args, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-1500:]
+    img2 = pam.load_pam(str(tmp_path / "result.ppm")).data
+    np.testing.assert_array_equal(img1, img2)
+    # and equals the unchecckpointed render
+    r = run_cli(["super", "16", "16", "--spp", "4", "--seed", "5",
+                 "--scene-dir", scene_dir, "--out", "plain.ppm"],
+                cwd=str(tmp_path))
+    img3 = pam.load_pam(str(tmp_path / "plain.ppm")).data
+    np.testing.assert_allclose(img1.astype(int), img3.astype(int), atol=1)
