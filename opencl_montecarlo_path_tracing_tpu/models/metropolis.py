@@ -164,13 +164,16 @@ def _mutate(key, scn, quirks, verify_eps, light_origin, v, length, rnd):
     v = jnp.where(replace[:, None, None], temp_v, v)
 
     # probabilistic vertex additions (ocl:262-282); the branch is chosen by
-    # the length at entry, additions chain and stop at the first failure
+    # the length at entry, additions chain and stop at the first failure.
+    # NOTE: the reference returns early when the mutation draw is skipped
+    # (ocl:248), so additions only run on mutating rounds - gate on
+    # do_mutate, not just active.
     entry_len = length
     t0 = ((entry_len == 1) & (r2 > 0.3)) | ((entry_len == 2) & (r2 < 0.3)) \
         | ((entry_len == 3) & (r2 < 0.2))
     t1 = ((entry_len == 1) & (r2 > 0.7)) | ((entry_len == 2) & (r2 < 0.2))
     t2 = (entry_len == 1) & (r2 > 0.9)
-    ok = active
+    ok = do_mutate
     for j, want in enumerate((t0, t1, t2)):
         attempt = ok & want & (length < 4)
         origin_j = _slot_get(v, length - 1)

@@ -148,6 +148,13 @@ def main(argv=None):
     out_name = ns.out or ("resultCPU.ppm" if ns.variant == "simplecpu"
                           else "result.ppm")
 
+    # camera printout parity (CLSuperPathTracer.c:251)
+    from ..core.camera import make_camera
+    cam = make_camera(z_sign=1.0 if ns.variant == "simplecpu" else -1.0)
+    print("Cam values:\nCam_forward %f %f %f\nCam_up %f %f %f\n"
+          "Cam_right %f %f %f\n eye_offset %f %f %f"
+          % (*cam.forward, *cam.up, *cam.right, *cam.eye_offset))
+
     if ns.variant == "simplecpu":
         from ..models.oracle import render_oracle
         w = _positional(pos, 0, 256)
