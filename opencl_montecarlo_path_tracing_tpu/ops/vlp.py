@@ -118,7 +118,8 @@ def gather_vlps(x, n, vlps):
     x_sq = xx * xx + xy * xy + xz * xz
 
     # VLPs are consumed in blocks of _BLK per loop iteration (statically
-    # unrolled inside the body) to amortise loop/slice overhead
+    # unrolled inside the body) to amortise slice overhead; the scan is
+    # VPU-compute-bound (block sizes 16 and 64 measure identically).
     _BLK = 16
     nv = vlps.shape[0]
     pad = (-nv) % _BLK
@@ -205,11 +206,16 @@ def gather_vlps_grid(x, n, vlps, grid: gridmod.UniformGrid):
                     0, rx * ry * rz - 1)
     cnt = grid.counts[cell]
     cap = grid.items.shape[1]
+    # one (R, cap) row gather for the cell's items, and the referenced VLPs
+    # pre-joined per slot as (R, cap, 4) in a single gather - the fori then
+    # runs on static column slices (gathers dominate this kernel's cost)
+    rows = grid.items[cell]                       # (R, cap)
+    vrows = vlps[jnp.maximum(rows, 0)]            # (R, cap, 4)
 
     def body(kk, illum):
-        idx = grid.items[cell, kk]
+        idx = rows[:, kk]
+        v = vrows[:, kk, :]
         live = in_box & (kk < cnt) & (idx >= 0)
-        v = vlps[jnp.maximum(idx, 0)]     # (R, 4)
         diff = v[:, :3] - x
         dist2 = jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12)
         lamb = jnp.sum(diff * n, axis=-1) / jnp.sqrt(dist2)
