@@ -284,15 +284,11 @@ def trace_ray(o, d, scn: SceneArrays, t_init=_BIG, quirks: Quirks = DEFAULT,
         needs_norm = needs_norm & ~ok
     inv_len = jnp.where(
         needs_norm,
-        jax_rsqrt(_dot3(nx, ny, nz, nx, ny, nz)),
+        jax.lax.rsqrt(jnp.maximum(_dot3(nx, ny, nz, nx, ny, nz),
+                                  jnp.float32(1e-30))),
         one)
     normal = jnp.stack([nx * inv_len, ny * inv_len, nz * inv_len], axis=-1)
     return TraceResult(t=t, normal=normal, material=m)
-
-
-def jax_rsqrt(x):
-    import jax.lax as lax
-    return lax.rsqrt(jnp.maximum(x, jnp.float32(1e-30)))
 
 
 def any_hit(o, d, scn: SceneArrays, t_limit=_BIG, quirks: Quirks = DEFAULT,
