@@ -138,3 +138,54 @@ def test_metropolis_spp_window_composition():
                                      spp_total=4, n_seedpaths=16,
                                      mutation_rounds=2))
     np.testing.assert_allclose(a + b, full, rtol=0, atol=1e-4)
+
+
+def test_mutate_chain_invariants():
+    """Property tests on the batched Mutate round (metropolispathtracer.ocl
+    239-283 semantics): lengths stay in [0, 4]; vertices below the filled
+    length lie on scene surfaces (a re-trace toward them finds a hit within
+    the verification epsilon of the construction); empty chains are only
+    rebuilt, non-empty chains never become empty."""
+    import jax.numpy as jnp
+    from opencl_montecarlo_path_tracing_tpu.core.quirks import DEFAULT
+    from opencl_montecarlo_path_tracing_tpu.models import metropolis as M
+    from opencl_montecarlo_path_tracing_tpu.ops.intersect import trace_ray
+    from tests.test_vlp import vlp_scene
+
+    scn = prep_scene(vlp_scene())
+    n = 128
+    lp = jnp.broadcast_to(jnp.asarray(scn.lights[0, :3], jnp.float32), (n, 3))
+    key = make_key(13)
+    v, length = M._random_path(key, scn, DEFAULT, lp,
+                               np.uint32(M._SITE_SEED), jnp.ones(n, bool))
+    len0 = np.asarray(length)
+    assert ((0 <= len0) & (len0 <= 4)).all()
+
+    for rnd in range(3):
+        v, length = M._mutate(key, scn, DEFAULT, 1e-3, lp, v, length,
+                              jnp.uint32(rnd))
+        ln = np.asarray(length)
+        assert ((0 <= ln) & (ln <= 4)).all()
+        # chains that had vertices keep at least one (Mutate never truncates
+        # below 1; rejected mutations keep the seed path)
+        assert (ln[len0 > 0] >= 1).all()
+
+    # every filled vertex lies on a surface: tracing from the previous
+    # vertex toward it hits something at ~that point
+    vv = np.asarray(v)
+    ln = np.asarray(length)
+    origin = np.asarray(lp)
+    for i in range(4):
+        mask = ln > i
+        if not mask.any():
+            continue
+        seg = vv[mask, i, :] - origin[mask]
+        dist = np.linalg.norm(seg, axis=-1)
+        d = seg / np.maximum(dist[:, None], 1e-9)
+        tr = trace_ray(jnp.asarray(origin[mask]), jnp.asarray(d), scn,
+                       quirks=DEFAULT)
+        hit = np.asarray(tr.material) != 0
+        assert hit.all()
+        t = np.asarray(tr.t)
+        np.testing.assert_allclose(t[hit], dist[hit], atol=2e-2, rtol=1e-3)
+        origin = np.where(mask[:, None], vv[:, i, :], origin)
