@@ -16,7 +16,9 @@ table).  Here every variant is a subcommand with the same positionals:
                                      [CELL_SIZE_MODIFIER]
 
 Keyword options extend the reference surface: --scene-dir, --spp, --seed,
---out, --quirks {default,reference}.  The lws0 positional of the simple
+--out, --quirks {default,reference}, --triangles-file (the torus swap),
+--checkpoint/--spp-per-step (resumable accumulation), --profile-stages
+(per-stage timing of the VLP pipelines).  The lws0 positional of the simple
 tracer is accepted and ignored (TPU has no work-group size); device
 selection honours PT_PLATFORM / PT_DEVICE like the reference's OCL_PLATFORM
 / OCL_DEVICE env vars (ocl_boiler.h:54-131).
@@ -223,12 +225,9 @@ def main(argv=None):
             elif ns.variant == "trianglegrid":
                 from ..models.trianglegrid import render_trianglegrid
                 mod = _positional(pos, 2, 3.0, float)
-                film = timer.run(
-                    "grid init + rendering",
-                    lambda: render_trianglegrid(key, scene, w, h, spp=ns.spp,
-                                                cell_size_modifier=mod,
-                                                quirks=quirks),
-                    items=w * h, item_label="pixels", data_size=w * h * 4)
+                film = run_maybe_resumable("grid init + rendering",
+                                           render_trianglegrid, scene,
+                                           cell_size_modifier=mod)
             elif ns.variant == "bidirectional":
                 n_vlp = _positional(pos, 2, 512)
                 if ns.profile_stages:
