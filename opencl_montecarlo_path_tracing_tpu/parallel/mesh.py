@@ -41,21 +41,39 @@ def make_spp_mesh(n_devices: int | None = None, axis: str = "spp") -> Mesh:
     return jax.make_mesh((len(devices),), (axis,), devices=devices)
 
 
+# compiled sharded programs, keyed per (mesh layout, scene, render config) -
+# repeated calls must not re-trace
+_COMPILED: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def _cached(cfg, make_fn):
+    fn = _COMPILED.get(cfg)
+    if fn is None:
+        fn = make_fn()
+        _COMPILED[cfg] = fn
+    return fn
+
+
 def shard_spp(film_fn, mesh: Mesh, spp: int, axis: str = "spp"):
-    """Wrap ``film_fn(spp_local, spp_offset, spp_total) -> film`` into an
-    SPMD program: each device renders its sample window, films are
-    psum-reduced over the mesh axis, result replicated."""
+    """Wrap ``film_fn(key, spp_local, spp_offset, spp_total) -> film`` into
+    an SPMD program taking ``key``: each device renders its sample window,
+    films are psum-reduced over the mesh axis, result replicated."""
     n = mesh.devices.size
     if spp % n:
         raise ValueError(f"spp={spp} not divisible by mesh size {n}")
     local = spp // n
 
-    def body():
+    def body(key):
         idx = jax.lax.axis_index(axis)
-        film = film_fn(local, idx * jnp.uint32(local), spp)
+        film = film_fn(key, local, idx * jnp.uint32(local), spp)
         return jax.lax.psum(film, axis)
 
-    return shard_map(body, mesh=mesh, in_specs=(), out_specs=P(),
+    return shard_map(body, mesh=mesh, in_specs=(P(),), out_specs=P(),
                      check_vma=False)
 
 
@@ -68,13 +86,16 @@ def render_super_sharded(key, scene: Scene | SceneArrays, width: int,
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
     if mesh is None:
         mesh = make_spp_mesh()
+    cfg = ("super", scn.fingerprint(), width, height, spp, quirks,
+           max_bounces, _mesh_key(mesh))
 
-    def film_fn(local, offset, total):
-        return film_super(key, scn, width, height, local, offset, total,
-                          quirks, max_bounces)
+    def make():
+        def film_fn(k, local, offset, total):
+            return film_super(k, scn, width, height, local, offset, total,
+                              quirks, max_bounces)
+        return jax.jit(shard_spp(film_fn, mesh, spp))
 
-    run = jax.jit(shard_spp(film_fn, mesh, spp))
-    return run()
+    return _cached(cfg, make)(key)
 
 
 def render_bidirectional_sharded(key, scene, width: int, height: int,
@@ -89,12 +110,16 @@ def render_bidirectional_sharded(key, scene, width: int, height: int,
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
     if mesh is None:
         mesh = make_spp_mesh()
+    cfg = ("bpt", scn.fingerprint(), width, height, spp, n_vlp, quirks,
+           use_grid, _mesh_key(mesh))
 
-    def film_fn(local, offset, total):
-        return film_bidirectional(key, scn, width, height, local, offset,
-                                  total, n_vlp, quirks, use_grid=use_grid)
+    def make():
+        def film_fn(k, local, offset, total):
+            return film_bidirectional(k, scn, width, height, local, offset,
+                                      total, n_vlp, quirks, use_grid=use_grid)
+        return jax.jit(shard_spp(film_fn, mesh, spp))
 
-    return jax.jit(shard_spp(film_fn, mesh, spp))()
+    return _cached(cfg, make)(key)
 
 
 def render_metropolis_sharded(key, scene, width: int, height: int,
@@ -109,13 +134,17 @@ def render_metropolis_sharded(key, scene, width: int, height: int,
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
     if mesh is None:
         mesh = make_spp_mesh()
+    cfg = ("mlt", scn.fingerprint(), width, height, spp, n_seedpaths,
+           mutation_rounds, quirks, use_grid, _mesh_key(mesh))
 
-    def film_fn(local, offset, total):
-        return film_metropolis(key, scn, width, height, local, offset,
-                               total, n_seedpaths, mutation_rounds, quirks,
-                               use_grid=use_grid)
+    def make():
+        def film_fn(k, local, offset, total):
+            return film_metropolis(k, scn, width, height, local, offset,
+                                   total, n_seedpaths, mutation_rounds,
+                                   quirks, use_grid=use_grid)
+        return jax.jit(shard_spp(film_fn, mesh, spp))
 
-    return jax.jit(shard_spp(film_fn, mesh, spp))()
+    return _cached(cfg, make)(key)
 
 
 def make_mesh_2d(n_rows: int, n_spp: int, devices=None) -> Mesh:
@@ -141,16 +170,21 @@ def render_super_sharded_2d(key, scene: Scene | SceneArrays, width: int,
         raise ValueError(f"height={height} % {ny} or spp={spp} % {nspp} != 0")
     rows = height // ny
     local = spp // nspp
+    cfg = ("super2d", scn.fingerprint(), width, height, spp, quirks,
+           max_bounces, _mesh_key(mesh))
 
-    def body():
-        iy = jax.lax.axis_index("y")
-        isp = jax.lax.axis_index("spp")
-        film = film_super(key, scn, width, height, local,
-                          isp * jnp.uint32(local), spp, quirks, max_bounces,
-                          row_offset=iy * jnp.uint32(rows), rows=rows)
-        film = jax.lax.psum(film, "spp")
-        return jax.lax.all_gather(film, "y", axis=0, tiled=True)
+    def make():
+        def body(k):
+            iy = jax.lax.axis_index("y")
+            isp = jax.lax.axis_index("spp")
+            film = film_super(k, scn, width, height, local,
+                              isp * jnp.uint32(local), spp, quirks,
+                              max_bounces,
+                              row_offset=iy * jnp.uint32(rows), rows=rows)
+            film = jax.lax.psum(film, "spp")
+            return jax.lax.all_gather(film, "y", axis=0, tiled=True)
 
-    run = jax.jit(shard_map(body, mesh=mesh, in_specs=(), out_specs=P(),
-                            check_vma=False))
-    return run()
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(),),
+                                 out_specs=P(), check_vma=False))
+
+    return _cached(cfg, make)(key)
