@@ -77,3 +77,28 @@ def test_reference_scene_smoke():
     f = np.asarray(render_super(key, scene, 16, 16, spp=2))
     assert np.isfinite(f).all()
     assert f.max() > 0
+
+
+def test_five_lights_unrolled_loop():
+    """MAX_LIGHTS=5 in the reference; exercise the statically unrolled light
+    loop beyond the 2-light scenes."""
+    scene = Scene(
+        sphere_centers=np.array([[10, 0, 4]], np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=np.zeros((0, 3, 3), np.float32),
+        lights=np.array([[10, 4, 10, 200], [15, 2, 7, 150], [5, 5, 9, 80],
+                         [12, -3, 6, 60], [8, 1, 12, 40]], np.float32),
+    )
+    f = np.asarray(render_super(make_key(8), scene, 16, 16, spp=2))
+    assert np.isfinite(f).all() and f.max() > 0
+
+
+def test_zero_light_scene():
+    scene = Scene(
+        sphere_centers=np.array([[10, 0, 4]], np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=np.zeros((0, 3, 3), np.float32),
+        lights=np.zeros((0, 4), np.float32),
+    )
+    f = np.asarray(render_super(make_key(8), scene, 8, 8, spp=1))
+    assert np.isfinite(f).all()  # sky + unlit shading only
