@@ -38,8 +38,17 @@ import numpy as np
 
 
 def _select_device():
+    # PT_* preferred; the reference's OCL_DEVICE index (ocl_boiler.h:100)
+    # is honoured as a drop-in alias. OCL_PLATFORM selected a platform by
+    # INDEX in the reference; here platforms are named backends, so a
+    # non-numeric OCL_PLATFORM is accepted as a name and a numeric one is
+    # ignored (there is exactly one platform per backend).
     platform = os.environ.get("PT_PLATFORM")
-    device = os.environ.get("PT_DEVICE")
+    if not platform:
+        ocl_p = os.environ.get("OCL_PLATFORM", "")
+        if ocl_p and not ocl_p.isdigit():
+            platform = ocl_p
+    device = os.environ.get("PT_DEVICE") or os.environ.get("OCL_DEVICE")
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)

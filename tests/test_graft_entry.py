@@ -24,3 +24,13 @@ def test_dryrun_multichip_8():
 
 def test_dryrun_multichip_2():
     graft.dryrun_multichip(2)
+
+
+def test_dryrun_multichip_6_falls_back_to_1d():
+    # 6 devices: rows (3) would not divide the 16-row dry-run image, so the
+    # 2-D mesh must not be chosen
+    graft.dryrun_multichip(6)
+
+
+def test_dryrun_multichip_4_uses_2d():
+    graft.dryrun_multichip(4)
