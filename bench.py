@@ -1,13 +1,18 @@
 """Headline benchmark: CLSuperPathTracer workload on one TPU chip.
 
-Renders the reference's full scene at 1024^2 and reports camera-path
-throughput (Mpaths/s/chip).  North star (BASELINE.json): >= 100 Mpaths/s/chip
-at 1024^2; vs_baseline is the ratio against that target.
+Renders the reference's full scene and reports camera-path throughput
+(Mpaths/s/chip).  North star (BASELINE.json): >= 100 Mpaths/s/chip at
+1024^2 on the super variant; vs_baseline is the ratio against that target.
 
-Prints exactly one JSON line.
+Default mode prints exactly ONE JSON line (the headline super config).
+BENCH_VARIANT selects another variant; BENCH_VARIANT=all runs every
+variant at its standard config (docs/BENCHMARKS.md rows) and prints one
+JSON line per variant, each with its regression floor ("floor",
+"vs_floor") so a perf regression in any integrator is machine-detectable.
 
-Env knobs: BENCH_SIZE (default 1024), BENCH_SPP (default 64),
-BENCH_REPEATS (default 3).
+Env knobs: BENCH_SIZE (default 1024, or the variant's standard size in
+all-mode), BENCH_SPP (default 1024 for super - the north-star config),
+BENCH_REPEATS (default 3), BENCH_VARIANT (default "super").
 """
 
 from __future__ import annotations
@@ -19,39 +24,77 @@ import time
 
 import numpy as np
 
+# Regression floors (Mpaths/s/chip) at each variant's standard config below:
+# round-1 measured numbers (docs/BENCHMARKS.md) with ~25% headroom, raised
+# as kernels improve.  bench-mode "all" emits vs_floor per variant; a value
+# < 1.0 is a regression.
+FLOORS = {
+    "super": 100.0,          # north star; measured 135 r1
+    "simple": 55.0,          # measured 76.5 r1
+    "nodof": 25.0,           # measured 34.9 r1
+    "bidirectional": 20.0,   # measured 26.9 r1
+    "metropolis": 7.0,       # measured 9.7 r1
+    "metropolis_vlpgrid": 3.5,  # measured 4.8 r1
+    "trianglegrid": 0.1,     # measured 0.2 r1 (gather-bound; see PERF.md)
+}
 
-def main():
-    size = int(os.environ.get("BENCH_SIZE", "1024"))
-    spp = int(os.environ.get("BENCH_SPP", "1024"))  # north-star config
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    variant = os.environ.get("BENCH_VARIANT", "super")
+# standard (size, spp) per variant in all-mode - the docs/BENCHMARKS.md rows
+STD_CONFIG = {
+    "super": (1024, 1024),
+    "simple": (1024, 256),
+    "nodof": (512, 64),
+    "bidirectional": (512, 256),
+    "metropolis": (512, 256),
+    "metropolis_vlpgrid": (512, 256),
+    "trianglegrid": (256, 16),
+}
 
-    from opencl_montecarlo_path_tracing_tpu.core.rng import make_key
-    from opencl_montecarlo_path_tracing_tpu.scene.builtin import demo_scene
 
-    scene, tag = demo_scene()
-
+def make_render(variant: str, scene, size: int, spp: int):
+    """Returns render(key) -> film/image for one variant at (size, spp)."""
     if variant == "super":
         from opencl_montecarlo_path_tracing_tpu.models.super import render_super
-        render = lambda k: render_super(k, scene, size, size, spp=spp)
-    elif variant == "simple":
+        return lambda k: render_super(k, scene, size, size, spp=spp)
+    if variant == "simple":
         from opencl_montecarlo_path_tracing_tpu.models.simple import render_simple
-        render = lambda k: render_simple(k, size, size, spp=spp)
-    elif variant == "trianglegrid":
+        return lambda k: render_simple(k, size, size, spp=spp)
+    if variant == "nodof":
+        from opencl_montecarlo_path_tracing_tpu.models.sample_parallel import (
+            render_sample_parallel)
+        sg = max(2, int(round(spp ** 0.5)))
+        return lambda k: render_sample_parallel(k, scene, size, size,
+                                                sample_grid=sg)
+    if variant == "trianglegrid":
         from opencl_montecarlo_path_tracing_tpu.models.trianglegrid import (
             render_trianglegrid)
-        render = lambda k: render_trianglegrid(k, scene, size, size, spp=spp)
-    elif variant == "bidirectional":
+        return lambda k: render_trianglegrid(k, scene, size, size, spp=spp)
+    if variant == "bidirectional":
         from opencl_montecarlo_path_tracing_tpu.models.bidirectional import (
             render_bidirectional)
-        render = lambda k: render_bidirectional(k, scene, size, size, spp=spp)
-    elif variant == "metropolis":
+        return lambda k: render_bidirectional(k, scene, size, size, spp=spp)
+    if variant in ("metropolis", "metropolis_vlpgrid"):
         from opencl_montecarlo_path_tracing_tpu.models.metropolis import (
             render_metropolis)
-        render = lambda k: render_metropolis(k, scene, size, size, spp=spp)
-    else:
-        raise SystemExit(f"unknown BENCH_VARIANT {variant}")
+        grid = variant.endswith("vlpgrid")
+        return lambda k: render_metropolis(k, scene, size, size, spp=spp,
+                                           use_grid=grid)
+    raise SystemExit(f"unknown BENCH_VARIANT {variant}")
 
+
+def spp_of(variant: str, spp: int) -> int:
+    """Effective paths-per-pixel (nodof's sample grid is spp rounded to a
+    square)."""
+    if variant == "nodof":
+        sg = max(2, int(round(spp ** 0.5)))
+        return sg * sg
+    return spp
+
+
+def bench_one(variant: str, scene, tag: str, size: int, spp: int,
+              repeats: int) -> dict:
+    from opencl_montecarlo_path_tracing_tpu.core.rng import make_key
+
+    render = make_render(variant, scene, size, spp)
     # compile + warm up (same static config as the timed runs)
     np.asarray(render(make_key(0)))
 
@@ -61,17 +104,42 @@ def main():
         film = np.asarray(render(make_key(1 + i)))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    paths = size * size * spp
+    paths = size * size * spp_of(variant, spp)
     mpaths = paths / best / 1e6
 
-    print(json.dumps({
+    out = {
         "metric": f"{variant}_pathtracer_throughput",
         "value": round(mpaths, 2),
         "unit": "Mpaths/s/chip",
         "vs_baseline": round(mpaths / 100.0, 4),
-        "config": f"{size}x{size} spp={spp} scene={tag}",
-        "film_mean": round(float(film.mean()), 4),
-    }))
+        "config": f"{size}x{size} spp={spp_of(variant, spp)} scene={tag}",
+        "film_mean": round(float(np.asarray(film, np.float64).mean()), 4),
+    }
+    floor = FLOORS.get(variant)
+    if floor:
+        out["floor"] = floor
+        out["vs_floor"] = round(mpaths / floor, 4)
+    return out
+
+
+def main():
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    variant = os.environ.get("BENCH_VARIANT", "super")
+
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import demo_scene
+    scene, tag = demo_scene()
+
+    if variant == "all":
+        for v, (std_size, std_spp) in STD_CONFIG.items():
+            size = int(os.environ.get("BENCH_SIZE", str(std_size)))
+            spp = int(os.environ.get("BENCH_SPP", str(std_spp)))
+            print(json.dumps(bench_one(v, scene, tag, size, spp, repeats)),
+                  flush=True)
+        return
+
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    spp = int(os.environ.get("BENCH_SPP", "1024"))  # north-star config
+    print(json.dumps(bench_one(variant, scene, tag, size, spp, repeats)))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,18 @@ class Quirks:
     #: clamps to [0, 255].
     wrap_uint8: bool = False
 
+    #: The _lmem super tracer passes the *running primary-hit distance* into
+    #: its shadow traces instead of a fresh 1e9
+    #: (CLSuperPathTracer_lmem/pathtracer.ocl:178: ``TraceRay(intersection,
+    #: light_dir, &t, &half_vec, ...)`` where ``t`` still holds the camera
+    #: hit's distance): a shadow occluder only registers when closer than the
+    #: carried t, and each *executed* shadow trace (the ``lamb_f < 0 ||``
+    #: short-circuit skips it) overwrites t with its own closest hit, capping
+    #: the next light's trace.  Intended math traces each shadow ray
+    #: independently, uncapped (the plain super tracer's behaviour,
+    #: CLSuperPathTracer/pathtracer.ocl:156,178 re-initialises t = 1e9).
+    shadow_carry_t: bool = False
+
     #: The bidirectional lightTracer initialises the rejection-sampling
     #: accumulator once outside the per-light loop
     #: (bidirectionalpathtracer.ocl:295,319-323), so lights after the first
@@ -49,6 +61,14 @@ class Quirks:
             reuse_light_direction=True,
         )
 
+    @staticmethod
+    def reference_lmem() -> "Quirks":
+        """The _lmem binaries' behaviour: everything in ``reference()`` plus
+        the accidental shadow-trace t aliasing (only the lmem kernels pass
+        ``&t`` through, pathtracer.ocl:178)."""
+        return dataclasses.replace(Quirks.reference(), shadow_carry_t=True)
+
 
 DEFAULT = Quirks()
 REFERENCE = Quirks.reference()
+REFERENCE_LMEM = Quirks.reference_lmem()

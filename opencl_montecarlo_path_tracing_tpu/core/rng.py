@@ -110,3 +110,59 @@ def randn_draws(key, ray_id, site_id, n: int):
         b0, b1 = _block(key, ray_id, base + np.uint32(j))
         out.extend([_bits_to_unit_float(b0), _bits_to_unit_float(b1)])
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Pure-NumPy twin - bit-identical streams on the host.
+#
+# The oracle renderers (models/oracle*.py) use these for their
+# common-random-numbers mode: oracle and JAX renders then consume the SAME
+# sample values, so their comparison isolates estimator bias from Monte-Carlo
+# noise (it is tight at ANY spp, not just asymptotically).  Equality with the
+# jnp implementation is pinned by tests/test_rng.py.
+
+def threefry2x32_np(k0, k1, x0, x1):
+    """NumPy 20-round Threefry-2x32; same contract as :func:`threefry2x32`."""
+    u32 = np.uint32
+    ks = [np.asarray(k0, u32), np.asarray(k1, u32)]
+    ks.append(ks[0] ^ ks[1] ^ _PARITY)
+    x0 = np.asarray(x0, u32)
+    x1 = np.asarray(x1, u32)
+    with np.errstate(over="ignore"):
+        x0 = (x0 + ks[0]).astype(u32)
+        x1 = (x1 + ks[1]).astype(u32)
+        for i in range(5):
+            for r in _ROTATIONS[i % 2]:
+                x0 = (x0 + x1).astype(u32)
+                x1 = ((x1 << u32(r)) | (x1 >> u32(32 - r))).astype(u32) ^ x0
+            x0 = (x0 + ks[(i + 1) % 3]).astype(u32)
+            x1 = (x1 + ks[(i + 2) % 3] + u32(i + 1)).astype(u32)
+    return x0, x1
+
+
+def _bits_to_unit_float_np(bits):
+    return ((bits >> np.uint32(8)).astype(np.float32)
+            * np.float32(1.0 / (1 << 24)))
+
+
+def rand2_np(key, ray_id, site_id):
+    """NumPy twin of :func:`rand2` (bit-identical)."""
+    with np.errstate(over="ignore"):
+        ctr = (np.asarray(site_id, np.uint32) * _SITE_STRIDE).astype(np.uint32)
+    b0, b1 = threefry2x32_np(key[0], key[1],
+                             np.asarray(ray_id, np.uint32), ctr)
+    return _bits_to_unit_float_np(b0), _bits_to_unit_float_np(b1)
+
+
+def randn_draws_np(key, ray_id, site_id, n: int):
+    """NumPy twin of :func:`randn_draws` (bit-identical)."""
+    assert n <= 16, "one site owns at most 16 uniforms"
+    with np.errstate(over="ignore"):
+        base = (np.asarray(site_id, np.uint32) * _SITE_STRIDE).astype(np.uint32)
+    out = []
+    for j in range((n + 1) // 2):
+        b0, b1 = threefry2x32_np(key[0], key[1],
+                                 np.asarray(ray_id, np.uint32),
+                                 (base + np.uint32(j)).astype(np.uint32))
+        out.extend([_bits_to_unit_float_np(b0), _bits_to_unit_float_np(b1)])
+    return out[:n]

@@ -34,8 +34,13 @@ from .super import sample_super
 
 
 def illum_vlp(key, scn: SceneArrays, quirks: Quirks, vlps, grid,
-              tri_override, b, x, normal, shading, total_illum, ray_id):
-    """VLP gather + real-light soft-shadow correction (ocl:166-202)."""
+              tri_override, b, x, normal, shading, total_illum, ray_id,
+              t_hit=None):
+    """VLP gather + real-light soft-shadow correction (ocl:166-202).
+
+    ``t_hit`` is unused: the bidirectional kernels initialise their shadow
+    trace's t to the light distance themselves (ocl:195-197), so there is no
+    _lmem-style carry to reproduce here."""
     nlights = int(scn.lights.shape[0])
 
     if grid is None:

@@ -3,10 +3,11 @@
 The reference renders with per-pixel megakernels (64-spp loop x 5-bounce
 unrolled recursion per work item, e.g. pathtracer.ocl:220-241).  Here every
 integrator is a *wavefront*: one flat ray batch per sample pass, a
-``lax.while_loop`` over bounces with live-ray masks (terminating as soon as
-no ray is alive - on the mirror-free "super" scene that is after one
-bounce), and a film accumulator.  Everything stays jit-resident; there is no
-host sync per bounce or per sample.
+``lax.fori_loop`` with a STATIC bounce count and live-ray masks (see
+``bounce_loop`` below - a dynamic ``while (any(alive))`` condition hits a
+pathological TPU compile path; callers that know a scene cannot bounce pass
+max_bounces=1), and a film accumulator.  Everything stays jit-resident;
+there is no host sync per bounce or per sample.
 """
 
 from __future__ import annotations

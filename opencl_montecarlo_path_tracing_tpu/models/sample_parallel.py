@@ -35,14 +35,23 @@ from .super import sample_super
 
 
 def sample_buffer(key, scn: SceneArrays, width, height, sample_grid,
-                  quirks, max_bounces=C.MAX_BOUNCES):
-    """(H*sg, W*sg, 3) float32: each slot = Sample(...) * 3.5 for one
-    sample of its pixel (pathtracer.ocl:249)."""
+                  quirks, max_bounces=C.MAX_BOUNCES, row_offset=0,
+                  rows: int | None = None):
+    """(rows*sg, W*sg, 3) float32: each slot = Sample(...) * 3.5 for one
+    sample of its pixel (pathtracer.ocl:249).
+
+    ``row_offset`` (may be traced) and ``rows`` select a horizontal band of
+    *pixel* rows - the unit of image-axis sharding (parallel/mesh.py).  Ray
+    ids stay keyed on the global pixel index, so band content is identical
+    to the corresponding slice of the full buffer."""
     sg = sample_grid
     spp = sg * sg
-    bigw, bigh = width * sg, height * sg
+    if rows is None:
+        rows = height
+    bigw, bigh = width * sg, rows * sg
     jj, ii = jnp.meshgrid(jnp.arange(bigh, dtype=jnp.int32),
                           jnp.arange(bigw, dtype=jnp.int32), indexing="ij")
+    jj = jj + jnp.asarray(row_offset, jnp.int32) * sg
     px = (ii // sg).astype(jnp.float32).reshape(-1)
     py = (jj // sg).astype(jnp.float32).reshape(-1)
     s = ((ii % sg) + (jj % sg) * sg).astype(jnp.uint32).reshape(-1)

@@ -36,14 +36,20 @@ from . import common as C
 
 
 def illum_direct(key, scn: SceneArrays, quirks: Quirks, tri_override,
-                 b, x, normal, shading, total_illum, ray_id):
+                 b, x, normal, shading, total_illum, ray_id, t_hit=None):
     """Direct illumination with jittered soft shadows - the super tracer's
     light loop (pathtracer.ocl:167-191).  Returns the updated cross-bounce
     total_illumination and the last light direction (consumed by the mirror
     branch's highlight, ocl:211).
 
     All shadow rays are batched into ONE occlusion trace so the (expensive)
-    primitive scan is instantiated once per bounce.
+    primitive scan is instantiated once per bounce.  Under
+    ``quirks.shadow_carry_t`` (the _lmem binaries' ``&t`` aliasing,
+    CLSuperPathTracer_lmem/pathtracer.ocl:178) the traces are instead
+    sequential per light: each starts from the carried distance ``t_hit``
+    (the primary hit's t) and, when actually executed (lamb >= 0 - the
+    reference short-circuits ``lamb_f < 0 || TraceRay(...)``), overwrites
+    the carry with its own closest hit.
     """
     nlights = int(scn.lights.shape[0])
     last_ldir = jnp.zeros_like(x)  # overwritten by any light w/ intensity != 0
@@ -58,7 +64,18 @@ def illum_direct(key, scn: SceneArrays, quirks: Quirks, tri_override,
         # updating light_dir; scenes ship none, and intensity is a
         # host-static scalar here, so the draw above matches draw order.
         ldirs.append(C.normalize(lp + jitter - x))
-    if nlights:
+    if nlights and quirks.shadow_carry_t:
+        t_run = (jnp.broadcast_to(jnp.float32(1e9), x.shape[:-1])
+                 if t_hit is None else t_hit)
+        occ_rows = []
+        for i in range(nlights):
+            tr_s = trace_ray(x, ldirs[i], scn, t_init=t_run, quirks=quirks,
+                             sphere_material=3, tri_override=tri_override)
+            occ_rows.append(tr_s.material != 0)
+            lamb = C.dot(ldirs[i], normal)
+            t_run = jnp.where(lamb < 0, t_run, tr_s.t)
+        occ_all = jnp.stack(occ_rows, axis=0)
+    elif nlights:
         xs = jnp.concatenate([x] * nlights, axis=0)
         ds = jnp.concatenate(ldirs, axis=0)
         if tri_override is None:
@@ -95,10 +112,12 @@ def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
     matching the reference where the grid serves every TraceRay
     (trianglegrid/pathtracer.ocl:245).
 
-    ``illum_fn(b, x, normal, shading, total_illum, ray_id) ->
+    ``illum_fn(b, x, normal, shading, total_illum, ray_id, t_hit) ->
     (total_illum, last_ldir)`` replaces the direct-light loop - the
     bidirectional/metropolis integrators plug their VLP gathers in here
-    (models/bidirectional.py, models/metropolis.py)."""
+    (models/bidirectional.py, models/metropolis.py); ``t_hit`` is the
+    primary trace's hit distance (consumed only by the _lmem
+    ``shadow_carry_t`` quirk)."""
     r1, r2, r3, r4 = rngmod.randn_draws(key, ray_id, C.SITE_CAMERA, 4)
     cam = make_camera(z_sign=-1.0)
     o, d = primary_rays(cam, ii, jj, r1, r2, r3, r4)
@@ -130,7 +149,7 @@ def sample_super(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
         shading = alive & (tr.material != 0)
 
         total_illum, last_ldir = illum_fn(b, x, tr.normal, shading,
-                                          total_illum, ray_id)
+                                          total_illum, ray_id, tr.t)
 
         fl = color_fact + C.floor_color(x) * total_illum[..., None] / div[..., None]
         result = jnp.where((m == 1)[..., None], fl, result)

@@ -147,6 +147,72 @@ def render_metropolis_sharded(key, scene, width: int, height: int,
     return _cached(cfg, make)(key)
 
 
+def render_trianglegrid_sharded(key, scene, width: int, height: int,
+                                spp: int, mesh: Mesh | None = None,
+                                cell_size_modifier: float = 3.0,
+                                quirks: Quirks = DEFAULT,
+                                max_bounces: int = MAX_BOUNCES):
+    """spp-sharded grid-accelerated render: every device builds the SAME
+    triangle grid on-device (deterministic sort-based build, ops/grid.py -
+    identical everywhere, no communication) and renders its sample window;
+    films psum over ICI."""
+    from ..models.trianglegrid import film_trianglegrid
+    from ..ops import grid as gridmod
+    scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    if mesh is None:
+        mesh = make_spp_mesh()
+    cfg = ("trianglegrid", scn.fingerprint(), width, height, spp,
+           cell_size_modifier, quirks, max_bounces, _mesh_key(mesh))
+
+    def make():
+        def film_fn(k, local, offset, total):
+            grid, _box = gridmod.triangle_grid(
+                scn, modifier=cell_size_modifier, device=True)
+            return film_trianglegrid(k, scn, grid, width, height, local,
+                                     offset, total, quirks, max_bounces)
+        return jax.jit(shard_spp(film_fn, mesh, spp))
+
+    return _cached(cfg, make)(key)
+
+
+def render_sample_parallel_sharded(key, scene, width: int, height: int,
+                                   sample_grid: int = 8,
+                                   mesh: Mesh | None = None,
+                                   quirks: Quirks = DEFAULT,
+                                   max_bounces: int = MAX_BOUNCES):
+    """Image-row-sharded NoDoF render: the sample-parallel variant's natural
+    TPU axis is the big (H*sg, W*sg) sample buffer, so each device produces
+    one horizontal *pixel-row* band (samples AND reduction stay on-device,
+    models/sample_parallel.py) and the final uint8 image is all-gathered over
+    ICI.  Band content equals the single-device image exactly (ray ids are
+    keyed on the global pixel index)."""
+    from ..models.sample_parallel import sample_buffer
+    from ..ops.reduce import reduce_samples
+    scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    if mesh is None:
+        mesh = make_spp_mesh(axis="y")
+    axis = tuple(mesh.shape.keys())[0]
+    n = mesh.devices.size
+    if height % n:
+        raise ValueError(f"height={height} not divisible by mesh size {n}")
+    rows = height // n
+    cfg = ("nodof", scn.fingerprint(), width, height, sample_grid, quirks,
+           max_bounces, _mesh_key(mesh))
+
+    def make():
+        def body(k):
+            iy = jax.lax.axis_index(axis)
+            buf = sample_buffer(k, scn, width, height, sample_grid, quirks,
+                                max_bounces, row_offset=iy * jnp.int32(rows),
+                                rows=rows)
+            img = reduce_samples(buf, sample_grid, wrap=quirks.wrap_uint8)
+            return jax.lax.all_gather(img, axis, axis=0, tiled=True)
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(),),
+                                 out_specs=P(), check_vma=False))
+
+    return _cached(cfg, make)(key)
+
+
 def make_mesh_2d(n_rows: int, n_spp: int, devices=None) -> Mesh:
     """2-D mesh: image rows ('y') x samples ('spp')."""
     if devices is None:

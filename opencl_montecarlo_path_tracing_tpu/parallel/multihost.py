@@ -28,14 +28,26 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """jax.distributed.initialize with explicit or env-driven parameters.
-    No-op when already initialized or when running single-process."""
+
+    No-op when already initialized.  With no arguments (env-driven mode) a
+    missing-environment ValueError is also swallowed - that is the normal
+    single-process case.  With EXPLICIT arguments every failure propagates:
+    a wrong coordinator address or process id must not silently degrade a
+    pod launch to N independent single-process renders."""
+    if jax.distributed.is_initialized():
+        return  # idempotent (works even after the backend came up)
+    env_driven = (coordinator_address is None and num_processes is None
+                  and process_id is None)
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process environment
-        pass
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
+    except ValueError:
+        if not env_driven:
+            raise
 
 
 def is_primary() -> bool:

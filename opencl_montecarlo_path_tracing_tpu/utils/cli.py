@@ -142,12 +142,17 @@ def main(argv=None):
     ns = ap.parse_args(argv)
     pos = ns.positionals
 
-    from ..core.quirks import DEFAULT, REFERENCE
+    from ..core.quirks import DEFAULT, REFERENCE, REFERENCE_LMEM
     from ..core.rng import make_key
     from .pam import ImgInfo, save_pam, film_to_rgba8
     from .profiling import StageTimer
 
-    quirks = REFERENCE if ns.quirks == "reference" else DEFAULT
+    # superlmem + reference quirks additionally reproduces the lmem
+    # binaries' shadow-trace &t aliasing (core/quirks.py::shadow_carry_t)
+    if ns.quirks == "reference":
+        quirks = REFERENCE_LMEM if ns.variant == "superlmem" else REFERENCE
+    else:
+        quirks = DEFAULT
     # the reference seeds from time/pid/clock/rdtsc (CLSuperPathTracer.c:209)
     seed = ns.seed if ns.seed is not None else (time.time_ns() & 0x7FFFFFFF)
     key = make_key(seed)

@@ -53,6 +53,39 @@ def test_sharded_bidirectional_matches_single():
     np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)
 
 
+def test_sharded_trianglegrid_matches_single():
+    from opencl_montecarlo_path_tracing_tpu.models.trianglegrid import (
+        render_trianglegrid,
+    )
+    from opencl_montecarlo_path_tracing_tpu.parallel.mesh import (
+        render_trianglegrid_sharded,
+    )
+    scene = small_scene()
+    key = make_key(25)
+    single = np.asarray(render_trianglegrid(key, scene, 8, 8, spp=4))
+    sharded = np.asarray(render_trianglegrid_sharded(
+        key, scene, 8, 8, 4, make_spp_mesh(4)))
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)
+
+
+def test_sharded_sample_parallel_matches_single():
+    """Row-sharded NoDoF == single-device, bit-for-bit (uint8 output and
+    per-pixel reduction make the summation order identical too)."""
+    from opencl_montecarlo_path_tracing_tpu.models.sample_parallel import (
+        render_sample_parallel,
+    )
+    from opencl_montecarlo_path_tracing_tpu.parallel.mesh import (
+        render_sample_parallel_sharded,
+    )
+    scene = small_scene()
+    key = make_key(26)
+    single = np.asarray(render_sample_parallel(key, scene, 8, 8,
+                                               sample_grid=2))
+    sharded = np.asarray(render_sample_parallel_sharded(
+        key, scene, 8, 8, sample_grid=2, mesh=make_spp_mesh(4, axis="y")))
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_sharded_metropolis_matches_single():
     from opencl_montecarlo_path_tracing_tpu.models.metropolis import (
         render_metropolis,

@@ -60,6 +60,49 @@ def test_specular_divfact_quirk_changes_simple_render():
     assert 0 < (diff > 0).mean() < 0.2
 
 
+def test_shadow_carry_t_quirk():
+    """The _lmem binaries alias the running primary-hit distance into their
+    shadow traces (CLSuperPathTracer_lmem/pathtracer.ocl:178): an occluder
+    beyond the carried t does NOT occlude, and each executed shadow trace
+    overwrites the carry.  Three regimes on a two-light scene:
+
+      default           : both lights occluded (uncapped shadow rays)
+      carry, t_hit = 12 : light 0's occluder (dist ~9) < 12 occludes and
+                          overwrites the carry to ~9; light 1's occluder
+                          (dist ~19) > 9 no longer occludes
+      carry, t_hit = 5  : both occluders are beyond the carry - no occlusion
+    """
+    from opencl_montecarlo_path_tracing_tpu.models.super import illum_direct
+
+    scene = Scene(
+        sphere_centers=np.array([[0, 0, 11], [0, 20, 1]], np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=np.zeros((0, 3, 3), np.float32),
+        lights=np.array([[0, 0, 21, 100], [0, 40, 1, 100]], np.float32))
+    scn = I.prep_scene(scene)
+    key = make_key(11)
+    R = 8
+    x = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (R, 3))
+    n = jnp.broadcast_to(jnp.asarray([0.0, 2**-0.5, 2**-0.5]), (R, 3))
+    shading = jnp.ones(R, bool)
+    zero = jnp.zeros(R, jnp.float32)
+    ray_id = jnp.arange(R, dtype=jnp.uint32)
+    carry = Quirks(shadow_carry_t=True)
+
+    def illum(quirks, t_hit):
+        ti, _ = illum_direct(key, scn, quirks, None, jnp.uint32(0), x, n,
+                             shading, zero, ray_id,
+                             jnp.full(R, t_hit, jnp.float32))
+        return np.asarray(ti)
+
+    base = illum(DEFAULT, 12.0)
+    np.testing.assert_allclose(base, 0.0, atol=1e-7)   # both lights occluded
+    mid = illum(carry, 12.0)                           # light 1 only
+    assert (0.005 < mid).all() and (mid < 0.02).all(), mid
+    free = illum(carry, 5.0)                           # both lights free
+    assert (free > mid + 0.03).all(), (free, mid)
+
+
 def test_grid_stats():
     from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
     scene = Scene(sphere_centers=np.zeros((0, 3), np.float32),
