@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core import rng as rngmod
 from ..scene.scene import SIMPLE_G, bitmap_to_spheres
+from .common import SITE_CAMERA, SITE_LIGHT0, SITE_STRIDE_BOUNCE
 
 _EPS = np.float32(0.01)
 _BIG = np.float32(1e9)
@@ -71,8 +73,11 @@ def _pow99(x):
     return x32 * x32 * x32 * x2 * x
 
 
-def _sample(o, d, centers, rng, max_depth=64):
-    """Vectorised CPU Sample (simpleCPUtracer.cpp:83-119)."""
+def _sample(o, d, centers, rng, max_depth=64, light_draws=None):
+    """Vectorised CPU Sample (simpleCPUtracer.cpp:83-119).
+
+    ``light_draws(b) -> (r1, r2)`` overrides the light-jitter draws for the
+    common-random-numbers mode (bounce ``b``)."""
     n = o.shape[0]
     result = np.zeros((n, 3), np.float32)
     atten = np.ones(n, np.float32)       # 0.5^depth accumulated
@@ -80,7 +85,7 @@ def _sample(o, d, centers, rng, max_depth=64):
     o = o.copy()
     d = d.copy()
 
-    for _ in range(max_depth):
+    for b in range(max_depth):
         if not alive.any():
             break
         m, t, normal = _trace(o, d, centers)
@@ -91,8 +96,11 @@ def _sample(o, d, centers, rng, max_depth=64):
         result[miss] += atten[miss, None] * np.float32([0.7, 0.6, 1.0]) * (f ** 4)[:, None]
 
         x = (o + d * t[:, None]).astype(np.float32)
-        r1 = rng.random(n, np.float32)
-        r2 = rng.random(n, np.float32)
+        if light_draws is None:
+            r1 = rng.random(n, np.float32)
+            r2 = rng.random(n, np.float32)
+        else:
+            r1, r2 = light_draws(b)
         light = np.stack([9.0 + r1, 9.0 + r2, np.full(n, 16.0)], -1).astype(np.float32)
         ldir = _normalize(light - x)
         half = d - normal * (2.0 * (normal * d).sum(-1))[:, None]
@@ -120,10 +128,15 @@ def _sample(o, d, centers, rng, max_depth=64):
 
 def render_oracle(width: int = 256, height: int = 256, spp: int = 64,
                   seed: int = 0, gpu_layout: bool = True,
-                  max_depth: int = 64) -> np.ndarray:
+                  max_depth: int = 64, key=None) -> np.ndarray:
     """Render; returns the pre-ambient float film (H, W, 3) (sum of
     samples * 3.5, matching simpleCPUtracer.cpp:174 minus the (13,13,13)
-    base)."""
+    base).
+
+    ``key`` (a core/rng.py ``make_key`` pair) switches to common random
+    numbers: draws come from the same (key, pixel*spp+s, site) threefry
+    streams as models/simple.py, so at matched ``max_depth`` the films
+    agree to float rounding."""
     f32 = np.float32
     centers = bitmap_to_spheres(SIMPLE_G)
     rng = np.random.default_rng(seed)
@@ -141,14 +154,28 @@ def render_oracle(width: int = 256, height: int = 256, spp: int = 64,
     yy = yy.reshape(-1)
     n = xx.size
 
+    pixel_index = (yy.astype(np.int64) * width
+                   + xx.astype(np.int64)).astype(np.uint32)
     film = np.zeros((n, 3), f32)
-    for _ in range(spp):
-        r = rng.random((4, n), f32)
+    for s in range(spp):
+        if key is None:
+            r = rng.random((4, n), f32)
+            light_draws = None
+        else:
+            with np.errstate(over="ignore"):
+                ray_id = (pixel_index * np.uint32(spp)
+                          + np.uint32(s)).astype(np.uint32)
+            r = rngmod.randn_draws_np(key, ray_id, SITE_CAMERA, 4)
+
+            def light_draws(b, _rid=ray_id):
+                return rngmod.rand2_np(key, _rid,
+                                       SITE_LIGHT0 + b * SITE_STRIDE_BOUNCE)
         delta = up * ((r[0] - 0.5) * 99)[:, None] + right * ((r[1] - 0.5) * 99)[:, None]
         o = pos + delta
         d = _normalize(-delta + (up * (r[2] + xx)[:, None]
                                  + right * (yy + r[3])[:, None] + eye) * 16)
-        film += _sample(o.astype(f32), d.astype(f32), centers, rng, max_depth)
+        film += _sample(o.astype(f32), d.astype(f32), centers, rng, max_depth,
+                        light_draws=light_draws)
     film = (film * f32(3.5)).reshape(height, width, 3)
     if not gpu_layout:
         # reference CPU writes (width-x, height-y); intended flip w/o overflow

@@ -13,29 +13,41 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core import rng as rngmod
 from ..core.quirks import Quirks, DEFAULT
+from ..ops.vlp import SITE_VLP_DIR
 from ..scene.scene import Scene
 from . import oracle_super as OS
+from .common import SITE_CAMERA, SITE_LIGHT0, SITE_STRIDE_BOUNCE
 
 _BPT_BASE = {1: 70.0, 2: 5.0, 3: 40.0}
 
 
 def emit_vlps_oracle(scene: Scene, n_vlp: int, rng,
-                     quirks: Quirks = DEFAULT) -> np.ndarray:
-    """(nlights * n_vlp, 4) VLPs."""
+                     quirks: Quirks = DEFAULT, key=None) -> np.ndarray:
+    """(nlights * n_vlp, 4) VLPs.  ``key`` switches the emission directions
+    to the same threefry sites as ops/vlp.py::emit_vlps."""
     nlights = scene.n_lights
     total = n_vlp * nlights
     den = max(1, total // 512)
     out = []
     dirs_first = None
+    gi = np.arange(n_vlp, dtype=np.uint32)
     for l in range(nlights):
         lp = scene.lights[l, :3].astype(np.float32)
         intensity = float(scene.lights[l, 3])
         if quirks.reuse_light_direction and dirs_first is not None:
             d = dirs_first
         else:
-            z = 1.0 - 2.0 * rng.random(n_vlp, np.float32)
-            phi = 2.0 * np.pi * rng.random(n_vlp, np.float32)
+            if key is None:
+                u1 = rng.random(n_vlp, np.float32)
+                u2 = rng.random(n_vlp, np.float32)
+            else:
+                site = (SITE_VLP_DIR if quirks.reuse_light_direction
+                        else SITE_VLP_DIR + l)
+                u1, u2 = rngmod.rand2_np(key, gi, site)
+            z = (1.0 - 2.0 * u1).astype(np.float32)
+            phi = (2.0 * np.pi) * u2
             r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
             d = np.stack([r * np.cos(phi), r * np.sin(phi), z],
                          -1).astype(np.float32)
@@ -59,7 +71,7 @@ def emit_vlps_oracle(scene: Scene, n_vlp: int, rng,
 
 
 def _sample_bpt(o, d, scene: Scene, vlps, rng, quirks: Quirks,
-                max_bounces=5):
+                max_bounces=5, light_draws=None):
     n = o.shape[0]
     result = np.zeros((n, 3), np.float32)
     color_fact = np.zeros((n, 3), np.float32)
@@ -70,7 +82,7 @@ def _sample_bpt(o, d, scene: Scene, vlps, rng, quirks: Quirks,
     d = d.astype(np.float32).copy()
     nlights = scene.n_lights
 
-    for _ in range(max_bounces):
+    for b in range(max_bounces):
         if not alive.any():
             break
         m, t, normal = OS._trace(o, d, scene, quirks)
@@ -100,9 +112,12 @@ def _sample_bpt(o, d, scene: Scene, vlps, rng, quirks: Quirks,
 
         # soft-shadow correction (ocl:191-201)
         last_ldir = d.copy()
-        for lp in scene.lights:
-            r1 = rng.random(n, np.float32)
-            r2 = rng.random(n, np.float32)
+        for li, lp in enumerate(scene.lights):
+            if light_draws is None:
+                r1 = rng.random(n, np.float32)
+                r2 = rng.random(n, np.float32)
+            else:
+                r1, r2 = light_draws(b, li)
             jit = np.stack([r1, r2, np.zeros(n, np.float32)], -1)
             ldir = OS._normalize(lp[:3] + jit - x)
             dist = np.sqrt(((lp[:3] - x) ** 2).sum(-1))
@@ -144,11 +159,14 @@ def _sample_bpt(o, d, scene: Scene, vlps, rng, quirks: Quirks,
 
 def render_oracle_bpt(scene: Scene, width=32, height=32, spp=64,
                       n_vlp=512, seed=0, quirks: Quirks = DEFAULT,
-                      max_bounces=5) -> np.ndarray:
-    """Pre-ambient float film (H, W, 3), GPU layout."""
+                      max_bounces=5, key=None) -> np.ndarray:
+    """Pre-ambient float film (H, W, 3), GPU layout.
+
+    ``key`` switches BOTH passes to the common threefry streams
+    (ops/vlp.py emission sites + models/bidirectional.py light sites)."""
     f32 = np.float32
     rng = np.random.default_rng(seed)
-    vlps = emit_vlps_oracle(scene, n_vlp, rng, quirks)
+    vlps = emit_vlps_oracle(scene, n_vlp, rng, quirks, key=key)
 
     z_vec = np.array([0, 0, -1], f32)
     forward = OS._normalize(np.array([-6, -16, 0], f32))
@@ -162,14 +180,27 @@ def render_oracle_bpt(scene: Scene, width=32, height=32, spp=64,
     xx = xx.reshape(-1)
     yy = yy.reshape(-1)
     n = xx.size
+    pixel_index = (yy.astype(np.int64) * width
+                   + xx.astype(np.int64)).astype(np.uint32)
     film = np.zeros((n, 3), f32)
-    for _ in range(spp):
-        r = rng.random((4, n), f32)
+    for s in range(spp):
+        if key is None:
+            r = rng.random((4, n), f32)
+            light_draws = None
+        else:
+            with np.errstate(over="ignore"):
+                ray_id = (pixel_index * np.uint32(spp)
+                          + np.uint32(s)).astype(np.uint32)
+            r = rngmod.randn_draws_np(key, ray_id, SITE_CAMERA, 4)
+
+            def light_draws(b, i, _rid=ray_id):
+                return rngmod.rand2_np(
+                    key, _rid, SITE_LIGHT0 + b * SITE_STRIDE_BOUNCE + i)
         delta = (up * ((r[0] - 0.5) * 99)[:, None]
                  + right * ((r[1] - 0.5) * 99)[:, None])
         o = pos + delta
         d = OS._normalize(-delta + (up * (r[2] + xx)[:, None]
                                     + right * (yy + r[3])[:, None] + eye) * 16)
         film += _sample_bpt(o.astype(f32), d.astype(f32), scene, vlps, rng,
-                            quirks, max_bounces)
+                            quirks, max_bounces, light_draws=light_draws)
     return (film * f32(3.5)).reshape(height, width, 3)

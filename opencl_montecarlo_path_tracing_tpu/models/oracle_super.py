@@ -8,14 +8,25 @@ Used as the RMSE ground truth for the JAX wavefront integrator
 (models/super.py); the two share no code beyond the Scene container.
 
 Quirk toggles follow core/quirks.py.
+
+Two RNG modes:
+ * legacy (default): an independent np.random stream - comparisons against
+   the JAX renderer then carry two Monte-Carlo noise realisations.
+ * common random numbers (``key=...``): draws come from the same
+   counter-based threefry sites as the JAX integrators
+   (core/rng.py::rand2_np), so oracle and JAX renders consume IDENTICAL
+   samples and the comparison isolates estimator bias from MC noise -
+   agreement is tight (<1e-3 display scale) at ANY spp.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from ..core import rng as rngmod
 from ..core.quirks import Quirks, DEFAULT
 from ..scene.scene import Scene
+from .common import SITE_CAMERA, SITE_LIGHT0, SITE_STRIDE_BOUNCE
 
 _EPS = np.float32(0.01)
 _BIG = np.float32(1e9)
@@ -94,8 +105,12 @@ def _pow99(x):
     return x32 * x32 * x32 * x2 * x
 
 
-def _sample(o, d, scene: Scene, rng, quirks: Quirks, max_bounces=5):
-    """Vectorised Sample (pathtracer.ocl:139-218)."""
+def _sample(o, d, scene: Scene, rng, quirks: Quirks, max_bounces=5,
+            light_draws=None):
+    """Vectorised Sample (pathtracer.ocl:139-218).
+
+    ``light_draws(b, i) -> (r1, r2)`` overrides the light-jitter draws for
+    the common-random-numbers mode (bounce ``b``, light ``i``)."""
     n = o.shape[0]
     result = np.zeros((n, 3), np.float32)
     color_fact = np.zeros((n, 3), np.float32)
@@ -105,7 +120,7 @@ def _sample(o, d, scene: Scene, rng, quirks: Quirks, max_bounces=5):
     o = o.astype(np.float32).copy()
     d = d.astype(np.float32).copy()
 
-    for _ in range(max_bounces):
+    for b in range(max_bounces):
         if not alive.any():
             break
         m, t, normal = _trace(o, d, scene, quirks)
@@ -120,9 +135,12 @@ def _sample(o, d, scene: Scene, rng, quirks: Quirks, max_bounces=5):
         shading = alive & (m != 0)
 
         last_ldir = d.copy()
-        for lp in scene.lights:
-            r1 = rng.random(n, np.float32)
-            r2 = rng.random(n, np.float32)
+        for li, lp in enumerate(scene.lights):
+            if light_draws is None:
+                r1 = rng.random(n, np.float32)
+                r2 = rng.random(n, np.float32)
+            else:
+                r1, r2 = light_draws(b, li)
             if lp[3] == 0:
                 continue
             jit = np.stack([r1, r2, np.zeros(n, np.float32)], -1)
@@ -171,9 +189,13 @@ def _sample(o, d, scene: Scene, rng, quirks: Quirks, max_bounces=5):
 def render_oracle_super(scene: Scene, width: int = 64, height: int = 64,
                         spp: int = 64, seed: int = 0,
                         quirks: Quirks = DEFAULT,
-                        max_bounces: int = 5) -> np.ndarray:
+                        max_bounces: int = 5, key=None) -> np.ndarray:
     """Pre-ambient float film (H, W, 3), GPU layout (z_sign=-1 basis,
-    direct indexing)."""
+    direct indexing).
+
+    ``key`` (a core/rng.py ``make_key`` pair) switches to common random
+    numbers: every draw comes from the same (key, pixel*spp+s, site)
+    threefry streams the JAX integrator consumes (models/super.py)."""
     f32 = np.float32
     rng = np.random.default_rng(seed)
 
@@ -190,14 +212,29 @@ def render_oracle_super(scene: Scene, width: int = 64, height: int = 64,
     yy = yy.reshape(-1)
     n = xx.size
 
+    pixel_index = (yy.astype(np.int64) * width
+                   + xx.astype(np.int64)).astype(np.uint32)
+
     film = np.zeros((n, 3), f32)
-    for _ in range(spp):
-        r = rng.random((4, n), f32)
+    for s in range(spp):
+        if key is None:
+            r = rng.random((4, n), f32)
+            light_draws = None
+        else:
+            with np.errstate(over="ignore"):
+                ray_id = (pixel_index * np.uint32(spp)
+                          + np.uint32(s)).astype(np.uint32)
+            r = rngmod.randn_draws_np(key, ray_id, SITE_CAMERA, 4)
+
+            def light_draws(b, i, _rid=ray_id):
+                return rngmod.rand2_np(
+                    key, _rid,
+                    SITE_LIGHT0 + b * SITE_STRIDE_BOUNCE + i)
         delta = (up * ((r[0] - 0.5) * 99)[:, None]
                  + right * ((r[1] - 0.5) * 99)[:, None])
         o = pos + delta
         d = _normalize(-delta + (up * (r[2] + xx)[:, None]
                                  + right * (yy + r[3])[:, None] + eye) * 16)
         film += _sample(o.astype(f32), d.astype(f32), scene, rng, quirks,
-                        max_bounces)
+                        max_bounces, light_draws=light_draws)
     return (film * f32(3.5)).reshape(height, width, 3)

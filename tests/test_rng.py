@@ -57,3 +57,27 @@ def test_sites_do_not_collide():
     # site 6 must not reproduce any of site 5's blocks
     d6 = R.randn_draws(key, ids, 6, 2)
     assert not np.allclose(np.asarray(d6[0]), np.asarray(draws[0]))
+
+
+def test_numpy_twin_known_answers_and_equality():
+    """The pure-NumPy threefry twin (used by the oracles' common-random-
+    numbers mode) passes the same Random123 KATs and matches the jnp
+    implementation bit-for-bit on bulk counters."""
+    y0, y1 = R.threefry2x32_np(np.uint32(0), np.uint32(0),
+                               np.uint32(0), np.uint32(0))
+    assert (int(y0), int(y1)) == (0x6B200159, 0x99BA4EFE)
+    y0, y1 = R.threefry2x32_np(np.uint32(0x13198A2E), np.uint32(0x03707344),
+                               np.uint32(0x243F6A88), np.uint32(0x85A308D3))
+    assert (int(y0), int(y1)) == (0xC4923A9C, 0x483DF7A0)
+
+    key = R.make_key(0xDEADBEEFCAFE)
+    ids = np.arange(1 << 12, dtype=np.uint32) * np.uint32(2654435761)
+    for site in (0, 3, 65, 0xFFFFFFFF):
+        a0, a1 = R.rand2(key, jnp.asarray(ids), site)
+        b0, b1 = R.rand2_np(key, ids, site)
+        np.testing.assert_array_equal(np.asarray(a0), b0)
+        np.testing.assert_array_equal(np.asarray(a1), b1)
+    a = R.randn_draws(key, jnp.asarray(ids), 7, 5)
+    b = R.randn_draws_np(key, ids, 7, 5)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), y)
