@@ -164,9 +164,20 @@ def render_oracle_bpt(scene: Scene, width=32, height=32, spp=64,
 
     ``key`` switches BOTH passes to the common threefry streams
     (ops/vlp.py emission sites + models/bidirectional.py light sites)."""
-    f32 = np.float32
     rng = np.random.default_rng(seed)
     vlps = emit_vlps_oracle(scene, n_vlp, rng, quirks, key=key)
+    return render_with_vlps(scene, vlps, width, height, spp, key=key,
+                            quirks=quirks, max_bounces=max_bounces, rng=rng)
+
+
+def render_with_vlps(scene: Scene, vlps, width=32, height=32, spp=64,
+                     key=None, quirks: Quirks = DEFAULT, max_bounces=5,
+                     rng=None) -> np.ndarray:
+    """Camera pass over precomputed VLPs (shared with the Metropolis oracle,
+    mirroring how film_metropolis reuses the bidirectional gather)."""
+    f32 = np.float32
+    if rng is None:
+        rng = np.random.default_rng(0)
 
     z_vec = np.array([0, 0, -1], f32)
     forward = OS._normalize(np.array([-6, -16, 0], f32))
