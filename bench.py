@@ -29,11 +29,11 @@ import numpy as np
 # as kernels improve.  bench-mode "all" emits vs_floor per variant; a value
 # < 1.0 is a regression.
 FLOORS = {
-    "super": 100.0,          # north star; measured 135 r1
+    "super": 170.0,          # north star 100; measured 229 r2 (megakernel)
     "simple": 55.0,          # measured 76.5 r1
     "nodof": 25.0,           # measured 34.9 r1
-    "bidirectional": 20.0,   # measured 26.9 r1
-    "metropolis": 7.0,       # measured 9.7 r1
+    "bidirectional": 24.0,   # measured 32.9 r2 (MXU gather)
+    "metropolis": 9.0,       # measured 12.3 r2 (MXU gather)
     "metropolis_vlpgrid": 3.5,  # measured 4.8 r1
     "trianglegrid": 0.1,     # measured 0.2 r1 (gather-bound; see PERF.md)
 }

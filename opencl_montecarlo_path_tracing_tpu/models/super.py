@@ -191,7 +191,21 @@ def film_super(key, scn: SceneArrays, width, height, spp, spp_offset,
     ``scn`` is a *numpy* SceneArrays whose values are baked into the trace
     as literals (the key to fusing the primitive scan - see ops/intersect).
     ``spp_offset``/``row_offset`` may be traced values - the sharded
-    renderers pass axis_index-derived offsets (parallel/mesh.py)."""
+    renderers pass axis_index-derived offsets (parallel/mesh.py).
+
+    On TPU the supported family (mirror-free scene, standard lighting, no
+    carry-t quirk) routes to the Pallas megakernel (ops/pallas_super.py,
+    ~1.4x the XLA pipeline; film equality pinned by test_megakernel.py).
+    Set PT_NO_MEGAKERNEL=1 to force the XLA path."""
+    import os
+    import jax as _jax
+    from ..ops import pallas_super as _mega
+    if (max_bounces >= 1 and _jax.default_backend() == "tpu"
+            and not os.environ.get("PT_NO_MEGAKERNEL")
+            and _mega.supported(scn, quirks, None, None, max_bounces)):
+        return _mega.film_super_mega(key, scn, width, height, spp,
+                                     spp_offset, spp_total, quirks,
+                                     row_offset, rows)
     sample_fn = functools.partial(sample_super, key, scn, quirks, max_bounces)
     return C.accumulate_spp(sample_fn, width, height, spp,
                             spp_offset=spp_offset, spp_total=spp_total,

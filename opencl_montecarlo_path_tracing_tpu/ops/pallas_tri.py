@@ -41,14 +41,20 @@ def _kernel(f_ref, w_ref, t_ref, idx_ref, *, ntp: int,
         best_t, best_i = carry
         # w_ref: (4, 16, ntp); per-quad chunk matmuls on the MXU
         col = c * TRI_CHUNK
+        # HIGHEST = Mosaic's native fp32 contraction; the MXU's default
+        # single-pass bf16 input rounding corrupts the det/u/v/t quads for
+        # real-scale vertex coordinates (same failure measured on the VLP
+        # gather, ops/pallas_vlp.py) and was never exercised on hardware by
+        # the CPU interpret-mode tests.
+        hi = jax.lax.Precision.HIGHEST
         det = jnp.dot(f, w_ref[0, :, pl.ds(col, TRI_CHUNK)],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=hi)
         un = jnp.dot(f, w_ref[1, :, pl.ds(col, TRI_CHUNK)],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=hi)
         vn = jnp.dot(f, w_ref[2, :, pl.ds(col, TRI_CHUNK)],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=hi)
         tn = jnp.dot(f, w_ref[3, :, pl.ds(col, TRI_CHUNK)],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=hi)
 
         ok = jnp.abs(det) >= _EPS     # zero-padded tris fail here
         inv = 1.0 / jnp.where(ok, det, 1.0)

@@ -103,15 +103,37 @@ def emit_vlps(key, scn: SceneArrays, n_vlp: int, quirks: Quirks = DEFAULT,
     return jnp.concatenate(out, axis=0)
 
 
-def gather_vlps(x, n, vlps):
+# ray-count and VLP-count thresholds above which the Pallas MXU gather
+# kernel (ops/pallas_vlp.py) replaces the fused VPU scan on TPU: the kernel
+# amortises its feature/weight setup over the (rays x VLPs) pair volume
+_MXU_GATHER_MIN_RAYS = 2048
+_MXU_GATHER_MIN_VLPS = 64
+
+
+def gather_vlps(x, n, vlps, impl: str | None = None):
     """Dense VLP gather: sum over ALL VLPs of max(lamb, 0) * min(I/d^2, 1)
     with no shadow rays (Sample's VLP loop, ocl:166-187).
 
-    Expressed as a fori scan over VLPs with rays on the vector lanes - the
-    per-VLP scalars broadcast against (R,) arrays, everything fuses into a
-    single VMEM-resident pass (no (rays x VLPs) HBM temporaries, the same
-    structure as the triangle scan in ops/intersect.py).
+    Two implementations with identical semantics (equality pinned by
+    tests/test_vlp.py::test_gather_mxu_matches_scan):
+
+    * ``scan``: fori scan over VLP blocks with rays on the vector lanes -
+      per-VLP scalars broadcast against (R,) arrays, everything fuses into
+      a single VMEM-resident pass (no (rays x VLPs) HBM temporaries, the
+      same structure as the triangle scan in ops/intersect.py).
+    * ``mxu``: Pallas kernel computing the two pair scalars as K=16 MXU
+      matmuls with a 7-op VPU epilogue (ops/pallas_vlp.py) - the default
+      on TPU for large batches (~3x the scan; docs/PERF.md).
     """
+    if impl is None:
+        use_mxu = (jax.default_backend() == "tpu"
+                   and int(np.prod(x.shape[:-1])) >= _MXU_GATHER_MIN_RAYS
+                   and vlps.shape[0] >= _MXU_GATHER_MIN_VLPS)
+    else:
+        use_mxu = impl == "mxu"
+    if use_mxu:
+        from .pallas_vlp import gather_vlps_mxu
+        return gather_vlps_mxu(x, n, vlps)
     xx, xy, xz = x[..., 0], x[..., 1], x[..., 2]
     nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
     n_dot_x = nx * xx + ny * xy + nz * xz

@@ -43,7 +43,10 @@ def initialize(coordinator_address: str | None = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError as e:
-        if "already initialized" not in str(e).lower():
+        # env-driven mode also tolerates the backend-order guard ("must be
+        # called before any JAX calls") - that is the normal call pattern
+        # for a single-process session that already touched the backend
+        if not env_driven and "already initialized" not in str(e).lower():
             raise
     except ValueError:
         if not env_driven:
