@@ -323,7 +323,15 @@ def traverse_triangles(o, d, t, m, nx, ny, nz, needs_norm,
     # pathological TPU compile path for small batches (see models/common.py)
     max_steps = rx + ry + rz + 2
 
+    # PT_KERNEL_DEBUG=1: the analog of the reference's commented-out DDA
+    # printf (ocl:192) - aggregate visit statistics instead of per-work-item
+    # lines (utils/debug.py); the counter joins the carry only when enabled
+    from ..utils import debug as _dbg
+    _debug = _dbg.enabled()
+
     def body(k, carry):
+        if _debug:
+            carry, visited = carry[:-1], carry[-1]
         (active, ix, iy, iz, nxx, nxy, nxz,
          t, m, nx, ny, nz, needs) = carry
         cell = jnp.clip(iz * (rx * ry) + iy * rx + ix, 0, rx * ry * rz - 1)
@@ -367,12 +375,21 @@ def traverse_triangles(o, d, t, m, nx, ny, nz, needs_norm,
         iz = jnp.where(cont & selz, iz + stz, iz)
         at_stop = (jnp.where(selx, ix, jnp.where(sely, iy, iz))
                    == jnp.where(selx, spx, jnp.where(sely, spy, spz)))
-        active = active & cont & ~at_stop
-        return (active, ix, iy, iz, nxx, nxy, nxz,
-                t, m, nx, ny, nz, needs)
+        out = (active & cont & ~at_stop, ix, iy, iz, nxx, nxy, nxz,
+               t, m, nx, ny, nz, needs)
+        if _debug:
+            out = out + (visited + jnp.sum(active.astype(jnp.int32)),)
+        return out
 
     carry = (active, ix, iy, iz, nxx, nxy, nxz,
              t, m, nx, ny, nz, needs_norm)
+    if _debug:
+        carry = carry + (jnp.int32(0),)
     out = jax.lax.fori_loop(0, max_steps, body, carry)
     t, m, nx, ny, nz, needs_norm = out[7], out[8], out[9], out[10], out[11], out[12]
+    if _debug:
+        _dbg.dprint(
+            "[grid DDA] rays={r} entered={e} cells_visited={v} tri_hits={h}",
+            r=active.size, e=jnp.sum(active.astype(jnp.int32)),
+            v=out[-1], h=jnp.sum((m == 4).astype(jnp.int32)))
     return t, m, nx, ny, nz, needs_norm
