@@ -134,6 +134,12 @@ def main(argv=None):
                          "left off (bit-identical sample content)")
     ap.add_argument("--spp-per-step", type=int, default=64,
                     help="window size for --checkpoint")
+    ap.add_argument("--pam-maxval", type=int, choices=[255, 65535],
+                    default=255,
+                    help="output sample depth: 255 = the reference's RGBA8; "
+                         "65535 writes 16-bit PAM (the reference IO layer "
+                         "round-trips it, pamalign.h:156-166/226-231, but "
+                         "its tracers never emit it)")
     ap.add_argument("--profile-stages", action="store_true",
                     help="time the VLP pipeline stage by stage (light pass, "
                          "box reduction + grid init, render), mirroring the "
@@ -275,10 +281,22 @@ def main(argv=None):
         rgba = np.asarray(img)
     else:
         rgba = film_to_rgba8(np.asarray(film), wrap=quirks.wrap_uint8)
+    if ns.pam_maxval == 65535:
+        from .pam import film_to_rgba16
+        if ns.variant == "nodof":
+            # the nodof reduce kernel emits RGBA8 (reduce4img_lmem,
+            # ...NoDoF/pathtracer.ocl:268-271); widen exactly (255 -> 65535)
+            rgba = rgba.astype(np.uint16) * np.uint16(257)
+        else:
+            rgba = film_to_rgba16(np.asarray(film))
     t0 = time.perf_counter()
-    save_pam(out_name, ImgInfo(width=w, height=h, channels=4, data=rgba))
+    save_pam(out_name, ImgInfo(width=w, height=h, channels=4,
+                               maxval=ns.pam_maxval,
+                               depth=8 if ns.pam_maxval == 255 else 16,
+                               data=rgba))
     timer.record("write render data", (time.perf_counter() - t0) * 1e3,
-                 items=w * h * 4, item_label="uchar", data_size=w * h * 4)
+                 items=w * h * 4, item_label="uchar",
+                 data_size=w * h * 4 * (1 if ns.pam_maxval == 255 else 2))
     print(f"\nSuccessfully created render image {out_name} in the current "
           "directory\n")
     timer.print_report()

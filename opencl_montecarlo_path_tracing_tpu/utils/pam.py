@@ -130,6 +130,24 @@ def load_pam(fname: str) -> ImgInfo:
                    if channels_mem > 1 else samples.reshape(height, width))
 
 
+def film_to_rgba16(film, ambient=(13.0, 13.0, 13.0)) -> np.ndarray:
+    """Quantise a float film (H, W, 3) to 16-bit RGBA (maxval 65535).
+
+    The reference IO layer round-trips 16-bit PAM (pamalign.h:156-166 read,
+    :226-231 write) but its tracers only ever emit 8-bit; this maps the
+    same display scale [0, 255] linearly onto [0, 65535], saturating (the
+    wrap quirk is an 8-bit convert_uchar4 artefact with no 16-bit
+    analogue)."""
+    film = np.asarray(film, np.float32) + np.asarray(ambient, np.float32)
+    rgb = np.clip(np.round(film * (65535.0 / 255.0)), 0, 65535)
+    rgb = rgb.astype(np.uint16)
+    h, w, _ = rgb.shape
+    out = np.empty((h, w, 4), np.uint16)
+    out[..., :3] = rgb
+    out[..., 3] = 65535
+    return out
+
+
 def film_to_rgba8(film, ambient=(13.0, 13.0, 13.0), wrap: bool = False) -> np.ndarray:
     """Quantise a float film (H, W, 3) to the reference's RGBA8 layout.
 

@@ -11,11 +11,13 @@ from tests.conftest import REFERENCE_DIR, reference_available
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(args, cwd):
+def run_cli(args, cwd, extra_env=None):
     env = dict(os.environ)
     env["PT_PLATFORM"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if extra_env:
+        env.update(extra_env)
     return subprocess.run(
         [sys.executable, "-m", "opencl_montecarlo_path_tracing_tpu"] + args,
         cwd=cwd, env=env, capture_output=True, text=True, timeout=600)
@@ -28,6 +30,45 @@ def test_cli_simple(tmp_path):
     img = pam.load_pam(str(tmp_path / "result.ppm"))
     assert (img.width, img.height) == (32, 32)
     assert "rendering" in r.stdout and "GB/s" in r.stdout
+
+
+def test_cli_pam16(tmp_path):
+    """--pam-maxval 65535 writes a 16-bit PAM whose samples are the 8-bit
+    display values mapped onto [0, 65535] (the IO layer's 16-bit support,
+    pamalign.h:156-166/226-231, reachable from the CLI)."""
+    r = run_cli(["simple", "16", "16", "8", "--spp", "2", "--seed", "1",
+                 "--pam-maxval", "65535", "--out", "r16.ppm"],
+                cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    r8 = run_cli(["simple", "16", "16", "8", "--spp", "2", "--seed", "1",
+                  "--out", "r8.ppm"], cwd=str(tmp_path))
+    assert r8.returncode == 0, r8.stderr
+    img = pam.load_pam(str(tmp_path / "r16.ppm"))
+    assert (img.maxval, img.depth) == (65535, 16)
+    img8 = pam.load_pam(str(tmp_path / "r8.ppm"))
+    # same display scale: v16/257 == v8 up to the different rounding
+    # (trunc at 8 bit vs round at 16)
+    d = (np.asarray(img.data, np.float64) / 257.0
+         - np.asarray(img8.data, np.float64))
+    assert np.abs(d).max() <= 1.0
+    assert int(np.asarray(img.data)[..., 3].min()) == 65535
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_cli_kernel_debug_prints(tmp_path):
+    """PT_KERNEL_DEBUG=1 streams aggregate DDA statistics from inside the
+    jitted grid traversal - the analog of the reference's commented device
+    printfs (trianglegrid/pathtracer.ocl:192); off by default."""
+    scene_dir = os.path.join(REFERENCE_DIR, "CLSuperPathTracer_trianglegrid")
+    args = ["trianglegrid", "24", "8", "--spp", "1", "--seed", "1",
+            "--scene-dir", scene_dir]
+    r = run_cli(args, cwd=str(tmp_path), extra_env={"PT_KERNEL_DEBUG": "1"})
+    assert r.returncode == 0, r.stderr
+    assert "[grid DDA]" in r.stdout
+    assert "cells_visited=" in r.stdout
+    r_off = run_cli(args, cwd=str(tmp_path))
+    assert r_off.returncode == 0, r_off.stderr
+    assert "[grid DDA]" not in r_off.stdout
 
 
 def test_cli_simplecpu(tmp_path):
