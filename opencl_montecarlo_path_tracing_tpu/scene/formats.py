@@ -22,20 +22,30 @@ MAX_LIGHTS = 5         # CLSuperPathTracer.c:15
 
 
 def _atof(line: str) -> float:
-    """C atof semantics: parse a leading float, 0.0 on failure."""
+    """C atof semantics on decimal forms: parse a leading float, 0.0 on
+    failure.  Candidates containing '_' are rejected (Python's float()
+    accepts PEP 515 digit separators, C strtod does not); C99 hex floats
+    are a non-goal - the reference's files are decimal."""
     s = line.strip()
     if not s:
         return 0.0
     # longest valid prefix
     for end in range(len(s), 0, -1):
+        cand = s[:end]
+        if "_" in cand:
+            continue
         try:
-            return float(s[:end])
+            return float(cand)
         except ValueError:
             continue
     return 0.0
 
 
 def _atoi(line: str) -> int:
+    """C strtoll semantics: leading int, 0 on failure, SATURATING at the
+    int64 range on overflow (strtoll sets ERANGE and returns LLONG_MAX /
+    LLONG_MIN; Python's unbounded int would overflow the int64 bitmap
+    array - found by tests/test_formats_property.py)."""
     s = line.strip()
     i = 0
     if i < len(s) and s[i] in "+-":
@@ -45,7 +55,8 @@ def _atoi(line: str) -> int:
         j += 1
     if j == i:
         return 0
-    return int(s[:j] if i == 0 else s[:j])
+    v = int(s[:j])
+    return max(-(2 ** 63), min(2 ** 63 - 1, v))
 
 
 def _native():
@@ -105,7 +116,9 @@ def parse_triangles_file(path: str, max_triangles: int = MAX_TRIANGLES) -> np.nd
             break
         tris.append(coords)
         pos = p + 2  # trailing END_VERTEX + END_TRIANGLE separators
-    return np.asarray(tris, np.float32).reshape(-1, 3, 3)
+    # over-range decimals cast to inf, C strtof's HUGE_VALF - silently
+    with np.errstate(over="ignore"):
+        return np.asarray(tris, np.float32).reshape(-1, 3, 3)
 
 
 def parse_lights_file(path: str, max_lights: int = MAX_LIGHTS) -> np.ndarray:
@@ -126,4 +139,5 @@ def parse_lights_file(path: str, max_lights: int = MAX_LIGHTS) -> np.ndarray:
         out.append([_atof(lines[pos]), _atof(lines[pos + 1]),
                     _atof(lines[pos + 2]), _atof(lines[pos + 3])])
         pos += 4
-    return np.asarray(out, np.float32).reshape(-1, 4)
+    with np.errstate(over="ignore"):
+        return np.asarray(out, np.float32).reshape(-1, 4)
