@@ -43,6 +43,13 @@ _SUB = 16                  # sublane rows per ray tile
 _TILE = _SUB * 128         # rays per grid step
 _TRI_UNROLL = 8            # triangle rows per fori step
 
+_TRI_BLOCK = 128           # triangles per Morton block (one DMA chunk)
+_TW, _TH = 64, 32          # blocked-mode pixel tile (64 x 32 = _TILE rays):
+                           # a compact footprint keeps the tile frustum
+                           # narrow so the any-lane AABB skip actually
+                           # skips (a row-major strip spans the full image
+                           # width and defeats the cull)
+
 _U32 = jnp.uint32
 _ROTS = ((13, 15, 26, 6), (17, 29, 16, 24))
 _PARITY = np.uint32(0x1BD11BDA)
@@ -75,11 +82,201 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
-def _trace_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
-                  nt: int):
+def _tri_closest_row(r, ox, oy, oz, dx, dy, dz, neg_t: bool, carry):
+    """Division-free Moller-Trumbore closest-hit update for one packed
+    triangle row ``r`` (12 broadcast scalars: v0, e0, e2, n) against the
+    ray vregs - the running minimum is carried det-scaled as (bn, bd)
+    (ops/intersect.py::trace_ray triangle scan)."""
+    one = np.float32(1.0)
+    bn, bd, m, nx, ny, nz, needs = carry
+    pvx = dy * r[8] - dz * r[7]
+    pvy = dz * r[6] - dx * r[8]
+    pvz = dx * r[7] - dy * r[6]
+    det = r[3] * pvx + r[4] * pvy + r[5] * pvz
+    tvx, tvy, tvz = ox - r[0], oy - r[1], oz - r[2]
+    un = tvx * pvx + tvy * pvy + tvz * pvz
+    qvx = tvy * r[5] - tvz * r[4]
+    qvy = tvz * r[3] - tvx * r[5]
+    qvz = tvx * r[4] - tvy * r[3]
+    vn = dx * qvx + dy * qvy + dz * qvz
+    tn = r[6] * qvx + r[7] * qvy + r[8] * qvz
+    sg = jnp.where(det >= 0, one, -one)
+    dd = det * sg
+    un_s = un * sg
+    vn_s = vn * sg
+    tn_s = tn * sg
+    ok = ((dd >= _EPS) & (un_s >= 0.0) & (un_s <= dd)
+          & (vn_s >= 0.0) & (un_s + vn_s <= dd))
+    if not neg_t:
+        ok = ok & (tn_s > _EPS * dd)
+    ok = ok & (tn_s * bd < bn * dd)
+    bn = jnp.where(ok, tn_s, bn)
+    bd = jnp.where(ok, dd, bd)
+    m = jnp.where(ok, 4, m)
+    nx = jnp.where(ok, r[9], nx)
+    ny = jnp.where(ok, r[10], ny)
+    nz = jnp.where(ok, r[11], nz)
+    needs = jnp.where(ok, 0, needs)
+    return bn, bd, m, nx, ny, nz, needs
+
+
+def _tri_closest_row_blocked(r, ox, oy, oz, dx, dy, dz, neg_t: bool, carry):
+    """Blocked-mode closest-hit update: same math as _tri_closest_row plus
+    an original-index tie-break (r[12], carried as ``bi``).  Triangles are
+    Morton-reordered in blocked mode, and the sequential scan's strict <
+    makes the FIRST-tested triangle win exact cross-product ties (shared
+    mesh edges) - preferring the lowest original index reproduces the
+    file-order winner.  ``bi`` starts at -1 so a tie against a
+    non-triangle hit (floor/sphere, tested first in every order) is never
+    stolen."""
+    one = np.float32(1.0)
+    bn, bd, bi, m, nx, ny, nz, needs = carry
+    pvx = dy * r[8] - dz * r[7]
+    pvy = dz * r[6] - dx * r[8]
+    pvz = dx * r[7] - dy * r[6]
+    det = r[3] * pvx + r[4] * pvy + r[5] * pvz
+    tvx, tvy, tvz = ox - r[0], oy - r[1], oz - r[2]
+    un = tvx * pvx + tvy * pvy + tvz * pvz
+    qvx = tvy * r[5] - tvz * r[4]
+    qvy = tvz * r[3] - tvx * r[5]
+    qvz = tvx * r[4] - tvy * r[3]
+    vn = dx * qvx + dy * qvy + dz * qvz
+    tn = r[6] * qvx + r[7] * qvy + r[8] * qvz
+    sg = jnp.where(det >= 0, one, -one)
+    dd = det * sg
+    un_s = un * sg
+    vn_s = vn * sg
+    tn_s = tn * sg
+    ok = ((dd >= _EPS) & (un_s >= 0.0) & (un_s <= dd)
+          & (vn_s >= 0.0) & (un_s + vn_s <= dd))
+    if not neg_t:
+        ok = ok & (tn_s > _EPS * dd)
+    num = tn_s * bd
+    den = bn * dd
+    ok = ok & ((num < den) | ((num == den) & (r[12] < bi)))
+    bn = jnp.where(ok, tn_s, bn)
+    bd = jnp.where(ok, dd, bd)
+    bi = jnp.where(ok, jnp.zeros_like(bi) + r[12], bi)
+    m = jnp.where(ok, 4, m)
+    nx = jnp.where(ok, r[9], nx)
+    ny = jnp.where(ok, r[10], ny)
+    nz = jnp.where(ok, r[11], nz)
+    needs = jnp.where(ok, 0, needs)
+    return bn, bd, bi, m, nx, ny, nz, needs
+
+
+def _tri_occ_row(r, ox, oy, oz, dx, dy, dz, neg_t: bool, tl, occ):
+    """Occlusion update for one packed triangle row (9 scalars used)."""
+    one = np.float32(1.0)
+    pvx = dy * r[8] - dz * r[7]
+    pvy = dz * r[6] - dx * r[8]
+    pvz = dx * r[7] - dy * r[6]
+    det = r[3] * pvx + r[4] * pvy + r[5] * pvz
+    tvx, tvy, tvz = ox - r[0], oy - r[1], oz - r[2]
+    un = tvx * pvx + tvy * pvy + tvz * pvz
+    qvx = tvy * r[5] - tvz * r[4]
+    qvy = tvz * r[3] - tvx * r[5]
+    qvz = tvx * r[4] - tvy * r[3]
+    vn = dx * qvx + dy * qvy + dz * qvz
+    tn = r[6] * qvx + r[7] * qvy + r[8] * qvz
+    sg = jnp.where(det >= 0, one, -one)
+    dd = det * sg
+    un_s = un * sg
+    vn_s = vn * sg
+    tn_s = tn * sg
+    ok = ((dd >= _EPS) & (un_s >= 0.0) & (un_s <= dd)
+          & (vn_s >= 0.0) & (un_s + vn_s <= dd)
+          & (tn_s < tl * dd))
+    if not neg_t:
+        ok = ok & (tn_s > _EPS * dd)
+    return jnp.where(ok, 1, occ)
+
+
+def _slab(aabb6, ox, oy, oz, inv_dx, inv_dy, inv_dz):
+    """Ray-AABB slab interval (tmin, tmax) on vregs; 6 broadcast scalars."""
+    tx0 = (aabb6[0] - ox) * inv_dx
+    tx1 = (aabb6[3] - ox) * inv_dx
+    ty0 = (aabb6[1] - oy) * inv_dy
+    ty1 = (aabb6[4] - oy) * inv_dy
+    tz0 = (aabb6[2] - oz) * inv_dz
+    tz1 = (aabb6[5] - oz) * inv_dz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                   jnp.minimum(ty0, ty1)),
+                       jnp.minimum(tz0, tz1))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                   jnp.maximum(ty0, ty1)),
+                       jnp.maximum(tz0, tz1))
+    return tmin, tmax
+
+
+# t-prune slack: the slab tmin is rounded float arithmetic while the
+# proof "hit t >= box entry t" holds in exact arithmetic - compare with
+# relative headroom so rounding can only keep a block, never drop one.
+_PRUNE_SLACK = np.float32(1.0 + 1e-3)
+
+
+def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
+                      carry, row_update):
+    """Morton-blocked triangle scan: per 128-triangle block, a slab test
+    against the block AABB (SMEM scalars) decides - via an any-lane
+    reduction - whether to DMA the block from HBM and run the row scan.
+    A broadcast AABB test costs ~20 VPU ops where the rows cost ~6k, so
+    skipped blocks are ~free; conservative tests (padded AABBs, slack on
+    the running-t prune) mean skipping never changes the result.  This is
+    the TPU-native replacement for the reference's uniform-grid DDA
+    (trianglegrid/pathtracer.ocl:157-198): per-lane cell walks gather at
+    ~1 lane/cycle, while block constants broadcast to all 1024 lanes
+    (docs/PERF.md "Large meshes")."""
+    aabb_ref = tri["aabb"]
+    tbl_any = tri["tbl"]
+    scratch = tri["scratch"]
+    sem = tri["sem"]
+    one = np.float32(1.0)
+    inv_dx, inv_dy, inv_dz = one / dx, one / dy, one / dz
+
+    def blk(b, carry):
+        a6 = [aabb_ref[b, j] for j in range(6)]
+        tmin, tmax = _slab(a6, ox, oy, oz, inv_dx, inv_dy, inv_dz)
+        hit = tmax >= tmin
+        if not neg_t:
+            hit = hit & (tmax >= _EPS)
+            if occ_tl is None:
+                bn, bd = carry[0], carry[1]
+                hit = hit & (jnp.maximum(tmin, 0.0) * bd
+                             <= bn * _PRUNE_SLACK)
+            else:
+                hit = hit & (tmin <= occ_tl * _PRUNE_SLACK)
+        if occ_tl is not None:
+            hit = hit & (carry == 0)
+
+        def do(carry):
+            cp = pltpu.make_async_copy(
+                tbl_any.at[:, pl.ds(b * _TRI_BLOCK, _TRI_BLOCK)],
+                scratch, sem)
+            cp.start()
+            cp.wait()
+
+            def rows(i, c):
+                for u in range(_TRI_UNROLL):
+                    rr = i * _TRI_UNROLL + u
+                    r = [scratch[j, rr] for j in range(13)]
+                    c = row_update(r, c)
+                return c
+
+            return jax.lax.fori_loop(0, _TRI_BLOCK // _TRI_UNROLL, rows,
+                                     carry)
+
+        return jax.lax.cond(jnp.any(hit), do, lambda c: c, carry)
+
+    return jax.lax.fori_loop(0, tri["n_blocks"], blk, carry)
+
+
+def _trace_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool):
     """Closest-hit scan, semantics of ops/intersect.py::trace_ray with
     sphere_material=3.  Returns (t, m, nx, ny, nz) with sphere normals
-    already normalised."""
+    already normalised.  ``tri`` describes the triangle stage: mode
+    "smem" (whole table resident, reference-scene sizes) or "blocked"
+    (Morton blocks DMA-streamed behind AABB skips, large meshes)."""
     one = np.float32(1.0)
     zero = np.float32(0.0)
     t = jnp.full(ox.shape, _BIG, jnp.float32)
@@ -129,48 +326,33 @@ def _trace_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
         nz = jnp.where(ok, pz + dz * s, nz)
         needs = jnp.where(ok, 1, needs)
 
-    # triangles: division-free scan, _TRI_UNROLL SMEM rows per step
-    if nt:
-        bn, bd = t, jnp.ones_like(t)
+    # triangles: division-free scan (running min carried as bn/bd)
+    if tri["nt"]:
+        if tri["mode"] == "smem":
+            tbl_ref = tri["tbl"]
+            carry = (t, jnp.ones_like(t), m, nx, ny, nz, needs)
 
-        def tri_step(i, carry):
+            def tri_step(i, c):
+                for u in range(_TRI_UNROLL):
+                    row = i * _TRI_UNROLL + u
+                    c = _tri_closest_row([tbl_ref[row, j] for j in range(12)],
+                                         ox, oy, oz, dx, dy, dz, neg_t, c)
+                return c
+
+            ntp = -(-tri["nt"] // _TRI_UNROLL)
+            carry = jax.lax.fori_loop(0, ntp, tri_step, carry)
             bn, bd, m, nx, ny, nz, needs = carry
-            for u in range(_TRI_UNROLL):
-                row = i * _TRI_UNROLL + u
-                r = [tbl_ref[row, j] for j in range(12)]
-                pvx = dy * r[8] - dz * r[7]
-                pvy = dz * r[6] - dx * r[8]
-                pvz = dx * r[7] - dy * r[6]
-                det = r[3] * pvx + r[4] * pvy + r[5] * pvz
-                tvx, tvy, tvz = ox - r[0], oy - r[1], oz - r[2]
-                un = tvx * pvx + tvy * pvy + tvz * pvz
-                qvx = tvy * r[5] - tvz * r[4]
-                qvy = tvz * r[3] - tvx * r[5]
-                qvz = tvx * r[4] - tvy * r[3]
-                vn = dx * qvx + dy * qvy + dz * qvz
-                tn = r[6] * qvx + r[7] * qvy + r[8] * qvz
-                sg = jnp.where(det >= 0, one, -one)
-                dd = det * sg
-                un_s = un * sg
-                vn_s = vn * sg
-                tn_s = tn * sg
-                ok = ((dd >= _EPS) & (un_s >= 0.0) & (un_s <= dd)
-                      & (vn_s >= 0.0) & (un_s + vn_s <= dd))
-                if not neg_t:
-                    ok = ok & (tn_s > _EPS * dd)
-                ok = ok & (tn_s * bd < bn * dd)
-                bn = jnp.where(ok, tn_s, bn)
-                bd = jnp.where(ok, dd, bd)
-                m = jnp.where(ok, 4, m)
-                nx = jnp.where(ok, r[9], nx)
-                ny = jnp.where(ok, r[10], ny)
-                nz = jnp.where(ok, r[11], nz)
-                needs = jnp.where(ok, 0, needs)
-            return bn, bd, m, nx, ny, nz, needs
+        else:
+            carry = (t, jnp.ones_like(t), jnp.full_like(t, -1.0),
+                     m, nx, ny, nz, needs)
 
-        ntp = -(-nt // _TRI_UNROLL)
-        bn, bd, m, nx, ny, nz, needs = jax.lax.fori_loop(
-            0, ntp, tri_step, (bn, bd, m, nx, ny, nz, needs))
+            def upd(r, c):
+                return _tri_closest_row_blocked(r, ox, oy, oz, dx, dy, dz,
+                                                neg_t, c)
+
+            carry = _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t,
+                                      None, carry, upd)
+            bn, bd, _, m, nx, ny, nz, needs = carry
         t = bn / bd
 
     inv_len = jnp.where(
@@ -181,12 +363,16 @@ def _trace_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
     return t, m, nx * inv_len, ny * inv_len, nz * inv_len
 
 
-def _occluded_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, scn_const,
-                     neg_t: bool, nt: int):
-    """Uncapped occlusion scan (ops/intersect.py::any_hit, t_limit=1e9)."""
+def _occluded_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const,
+                     neg_t: bool, tl=None):
+    """Occlusion scan (ops/intersect.py::any_hit).  ``tl`` is the per-lane
+    hit-distance cap; None = the plain super tracer's uncapped ray (a hit
+    beyond the light still occludes, pathtracer.ocl:180) - the VLP
+    integrators pass the light distance (bidirectionalpathtracer.ocl:195)."""
     one = np.float32(1.0)
     zero = np.float32(0.0)
-    tl = _BIG
+    if tl is None:
+        tl = _BIG
     inv_dz = one / dz
     p = -oz * inv_dz
     occ = ((p > _EPS) & (p < tl)).astype(jnp.int32)
@@ -205,42 +391,91 @@ def _occluded_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, scn_const,
         q = b * b - cc
         s = -b - jnp.sqrt(jnp.maximum(q, zero))
         occ = jnp.where((q > zero) & (s < tl) & (s > _EPS), 1, occ)
-    if nt:
-        def tri_step(i, occ):
-            for u in range(_TRI_UNROLL):
-                row = i * _TRI_UNROLL + u
-                r = [tbl_ref[row, j] for j in range(9)]
-                pvx = dy * r[8] - dz * r[7]
-                pvy = dz * r[6] - dx * r[8]
-                pvz = dx * r[7] - dy * r[6]
-                det = r[3] * pvx + r[4] * pvy + r[5] * pvz
-                tvx, tvy, tvz = ox - r[0], oy - r[1], oz - r[2]
-                un = tvx * pvx + tvy * pvy + tvz * pvz
-                qvx = tvy * r[5] - tvz * r[4]
-                qvy = tvz * r[3] - tvx * r[5]
-                qvz = tvx * r[4] - tvy * r[3]
-                vn = dx * qvx + dy * qvy + dz * qvz
-                tn = r[6] * qvx + r[7] * qvy + r[8] * qvz
-                sg = jnp.where(det >= 0, one, -one)
-                dd = det * sg
-                un_s = un * sg
-                vn_s = vn * sg
-                tn_s = tn * sg
-                ok = ((dd >= _EPS) & (un_s >= 0.0) & (un_s <= dd)
-                      & (vn_s >= 0.0) & (un_s + vn_s <= dd)
-                      & (tn_s < tl * dd))
-                if not neg_t:
-                    ok = ok & (tn_s > _EPS * dd)
-                occ = jnp.where(ok, 1, occ)
-            return occ
+    if tri["nt"]:
+        def upd(r, c):
+            return _tri_occ_row(r, ox, oy, oz, dx, dy, dz, neg_t, tl, c)
 
-        ntp = -(-nt // _TRI_UNROLL)
-        occ = jax.lax.fori_loop(0, ntp, tri_step, occ)
+        if tri["mode"] == "smem":
+            tbl_ref = tri["tbl"]
+
+            def tri_step(i, occ):
+                for u in range(_TRI_UNROLL):
+                    row = i * _TRI_UNROLL + u
+                    occ = upd([tbl_ref[row, j] for j in range(9)], occ)
+                return occ
+
+            ntp = -(-tri["nt"] // _TRI_UNROLL)
+            occ = jax.lax.fori_loop(0, ntp, tri_step, occ)
+        else:
+            occ = _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t,
+                                    tl, occ, upd)
     return occ
 
 
-def _mega_kernel(scalars_ref, tbl_ref, out_ref, *, width: int, spp: int,
-                 scn_const, neg_t: bool, nt: int):
+def _primary_rays_k(ii, jj, r1, r2, r3, r4):
+    """Thin-lens primary rays on (SUB, 128) vregs - the in-kernel twin of
+    core/camera.py::primary_rays (pathtracer.ocl:232-237)."""
+    cam = make_camera(z_sign=-1.0)
+    upx, upy, upz = (np.float32(v) for v in cam.up)
+    rix, riy, riz = (np.float32(v) for v in cam.right)
+    eyx, eyy, eyz = (np.float32(v) for v in cam.eye_offset)
+    psx, psy, psz = (np.float32(v) for v in cam.pos)
+    e1 = (r1 - np.float32(0.5)) * np.float32(99.0)
+    e2 = (r2 - np.float32(0.5)) * np.float32(99.0)
+    dlx = upx * e1 + rix * e2
+    dly = upy * e1 + riy * e2
+    dlz = upz * e1 + riz * e2
+    ox, oy, oz = psx + dlx, psy + dly, psz + dlz
+    fs = np.float32(16.0)
+    ax = r3 + ii
+    ay = jj + r4
+    dx = -dlx + (upx * ax + rix * ay + eyx) * fs
+    dy = -dly + (upy * ax + riy * ay + eyy) * fs
+    dz = -dlz + (upz * ax + riz * ay + eyz) * fs
+    inv_n = np.float32(1.0) / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return ox, oy, oz, dx * inv_n, dy * inv_n, dz * inv_n
+
+
+def _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti):
+    """4-material per-sample RGB on vregs (models/super.py::sample_super
+    epilogue; mirror branch dead on the covered family)."""
+    one = np.float32(1.0)
+    skyf = one - dz
+    sky2 = skyf * skyf
+    sky4 = sky2 * sky2
+    ipx = x * np.float32(0.2)
+    ipy = y * np.float32(0.2)
+    sel = (jnp.ceil(ipx) + jnp.ceil(ipy)).astype(jnp.int32) & 1
+    red = sel == 1
+    facing = jnp.maximum(np.float32(0.0), -(nx * dx + ny * dy + nz * dz))
+
+    is_sky = m == 0
+    is_floor = m == 1
+    is_diff = m == 3
+    is_face = m == 4
+
+    def shade(sky_c, floor_red, floor_white, diff_c):
+        v = jnp.where(is_sky, np.float32(sky_c) * sky4, np.float32(0.0))
+        fl = jnp.where(red, np.float32(floor_red), np.float32(floor_white))
+        v = jnp.where(is_floor, fl * ti, v)
+        v = jnp.where(is_diff, np.float32(diff_c) * ti, v)
+        return jnp.where(is_face, facing, v)
+
+    return (shade(C.SKY[0], C.FLOOR_RED[0], C.FLOOR_WHITE[0], C.DIFFUSE[0]),
+            shade(C.SKY[1], C.FLOOR_RED[1], C.FLOOR_WHITE[1], C.DIFFUSE[1]),
+            shade(C.SKY[2], C.FLOOR_RED[2], C.FLOOR_WHITE[2], C.DIFFUSE[2]))
+
+
+def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
+                 scn_const, neg_t: bool, nt: int, n_blocks: int = 0):
+    if n_blocks:
+        aabb_ref, tbl_any, out_ref, scratch, sem = refs
+        tri = {"mode": "blocked", "nt": nt, "aabb": aabb_ref,
+               "tbl": tbl_any, "scratch": scratch, "sem": sem,
+               "n_blocks": n_blocks}
+    else:
+        tbl_ref, out_ref = refs
+        tri = {"mode": "smem", "nt": nt, "tbl": tbl_ref}
     k0 = scalars_ref[0, 0]
     k1 = scalars_ref[0, 1]
     spp_offset = scalars_ref[0, 2]
@@ -252,21 +487,26 @@ def _mega_kernel(scalars_ref, tbl_ref, out_ref, *, width: int, spp: int,
     sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 128), 0)
     # all pixel math in int32 (Mosaic has no uint32->f32 casts); the ray id
     # switches to uint32 via bitcast - int32 wraparound is bit-identical
-    p_local = tile * _TILE + sub * 128 + lane
     w = np.int32(width)
-    ii_i = p_local % w
-    jj_row = p_local // w
+    if n_blocks:
+        # blocked mode: compact 2-D pixel tiles (ghost pixels beyond the
+        # image edge render harmlessly and are dropped at reassembly)
+        tiles_x = -(-width // _TW)
+        tx = tile % np.int32(tiles_x)
+        ty = tile // np.int32(tiles_x)
+        idx = sub * 128 + lane
+        ii_i = tx * np.int32(_TW) + idx % np.int32(_TW)
+        jj_row = ty * np.int32(_TH) + idx // np.int32(_TW)
+    else:
+        p_local = tile * _TILE + sub * 128 + lane
+        ii_i = p_local % w
+        jj_row = p_local // w
     row_off_i = row_offset.astype(jnp.int32)
     ii = ii_i.astype(jnp.float32)
     jj = (jj_row + row_off_i).astype(jnp.float32)
     pixel_index = ((jj_row + row_off_i) * w + ii_i).astype(_U32)
     one = np.float32(1.0)
 
-    cam = make_camera(z_sign=-1.0)
-    upx, upy, upz = (np.float32(v) for v in cam.up)
-    rix, riy, riz = (np.float32(v) for v in cam.right)
-    eyx, eyy, eyz = (np.float32(v) for v in cam.eye_offset)
-    psx, psy, psz = (np.float32(v) for v in cam.pos)
     lights = scn_const["lights"]
 
     def sample_body(s, acc):
@@ -279,24 +519,10 @@ def _mega_kernel(scalars_ref, tbl_ref, out_ref, *, width: int, spp: int,
         b2, b3 = _threefry(k0, k1, ray_id, jnp.ones_like(ray_id))
         r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
 
-        # primary rays (core/camera.py::primary_rays)
-        e1 = (r1 - np.float32(0.5)) * np.float32(99.0)
-        e2 = (r2 - np.float32(0.5)) * np.float32(99.0)
-        dlx = upx * e1 + rix * e2
-        dly = upy * e1 + riy * e2
-        dlz = upz * e1 + riz * e2
-        ox, oy, oz = psx + dlx, psy + dly, psz + dlz
-        fs = np.float32(16.0)
-        ax = r3 + ii
-        ay = jj + r4
-        dx = -dlx + (upx * ax + rix * ay + eyx) * fs
-        dy = -dly + (upy * ax + riy * ay + eyy) * fs
-        dz = -dlz + (upz * ax + riz * ay + eyz) * fs
-        inv_n = one / jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+        ox, oy, oz, dx, dy, dz = _primary_rays_k(ii, jj, r1, r2, r3, r4)
 
-        t, m, nx, ny, nz = _trace_kernel(tbl_ref, ox, oy, oz, dx, dy, dz,
-                                         scn_const, neg_t, nt)
+        t, m, nx, ny, nz = _trace_kernel(tri, ox, oy, oz, dx, dy, dz,
+                                         scn_const, neg_t)
         x = ox + dx * t
         y = oy + dy * t
         z = oz + dz * t
@@ -312,8 +538,8 @@ def _mega_kernel(scalars_ref, tbl_ref, out_ref, *, width: int, spp: int,
             ldz = np.float32(lz) - z
             ldx, ldy, ldz = _normalize3(ldx, ldy, ldz)
             lamb = ldx * nx + ldy * ny + ldz * nz
-            occ = _occluded_kernel(tbl_ref, x, y, z, ldx, ldy, ldz,
-                                   scn_const, neg_t, nt)
+            occ = _occluded_kernel(tri, x, y, z, ldx, ldy, ldz,
+                                   scn_const, neg_t)
             dqx = np.float32(lx) - x
             dqy = np.float32(ly) - y
             dqz = np.float32(lz) - z
@@ -325,37 +551,91 @@ def _mega_kernel(scalars_ref, tbl_ref, out_ref, *, width: int, spp: int,
         ti = jnp.minimum(ti, one) * np.float32(0.25)
 
         # shading (models/super.py::sample_super step; divFact == 1)
-        skyf = one - dz
-        sky2 = skyf * skyf
-        sky4 = sky2 * sky2
-        ipx = x * np.float32(0.2)
-        ipy = y * np.float32(0.2)
-        sel = (jnp.ceil(ipx) + jnp.ceil(ipy)).astype(jnp.int32) & 1
-        red = sel == 1
-        facing = jnp.maximum(np.float32(0.0), -(nx * dx + ny * dy + nz * dz))
-
-        is_sky = m == 0
-        is_floor = m == 1
-        is_diff = m == 3
-        is_face = m == 4
-
-        def shade(sky_c, floor_red, floor_white, diff_c):
-            v = jnp.where(is_sky, np.float32(sky_c) * sky4, np.float32(0.0))
-            fl = jnp.where(red, np.float32(floor_red), np.float32(floor_white))
-            v = jnp.where(is_floor, fl * ti, v)
-            v = jnp.where(is_diff, np.float32(diff_c) * ti, v)
-            return jnp.where(is_face, facing, v)
-
-        fr = fr + shade(C.SKY[0], C.FLOOR_RED[0], C.FLOOR_WHITE[0], C.DIFFUSE[0])
-        fg = fg + shade(C.SKY[1], C.FLOOR_RED[1], C.FLOOR_WHITE[1], C.DIFFUSE[1])
-        fb = fb + shade(C.SKY[2], C.FLOOR_RED[2], C.FLOOR_WHITE[2], C.DIFFUSE[2])
-        return fr, fg, fb
+        sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
+        return fr + sr, fg + sg, fb + sb
 
     zero = jnp.zeros((_SUB, 128), jnp.float32)
     fr, fg, fb = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
     out_ref[pl.ds(0, _SUB), :] = fr * C.EXPOSURE
     out_ref[pl.ds(_SUB, _SUB), :] = fg * C.EXPOSURE
     out_ref[pl.ds(2 * _SUB, _SUB), :] = fb * C.EXPOSURE
+
+
+def _part1by2(x: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of x two apart (Morton interleave helper)."""
+    x = x.astype(np.uint64) & np.uint64(0x3FF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x030000FF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x0300F00F)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x030C30C3)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x09249249)
+    return x
+
+
+def _tri_blocks(scn):
+    """Host-side build of the blocked triangle tables (numpy, scene is a
+    compile-time constant): sort triangles along a 30-bit Morton curve of
+    their centroids so each 128-row block is spatially compact, then take
+    per-block AABBs (padded by 0.1% + 1e-4 so float slab arithmetic stays
+    conservative).  Returns (tblT (16, ntp) - transposed for 128-aligned
+    DMA lane slices, rows padded to the f32 sublane tile - and
+    aabbs (n_blocks, 6) as (lo, hi); padding blocks get an empty box)."""
+    from .intersect import _tri_table
+    tbl = _tri_table(scn)
+    nt = tbl.shape[0]
+    v0 = tbl[:, 0:3]
+    v1 = v0 + tbl[:, 3:6]
+    v2 = v0 + tbl[:, 6:9]
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+    c = 0.5 * (lo + hi)
+    smin = c.min(axis=0)
+    ext = np.maximum(c.max(axis=0) - smin, 1e-30)
+    q = np.clip((c - smin) / ext * 1023.0, 0.0, 1023.0).astype(np.uint64)
+    code = (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << np.uint64(1))
+            | (_part1by2(q[:, 2]) << np.uint64(2)))
+    order = np.argsort(code, kind="stable")
+    tbl, lo, hi = tbl[order], lo[order], hi[order]
+
+    ntp = -(-nt // _TRI_BLOCK) * _TRI_BLOCK
+    n_blocks = ntp // _TRI_BLOCK
+    big = np.float32(3e38)
+    aabbs = np.empty((n_blocks, 6), np.float32)
+    for b in range(n_blocks):
+        s, e = b * _TRI_BLOCK, min((b + 1) * _TRI_BLOCK, nt)
+        if s >= nt:
+            aabbs[b, :3], aabbs[b, 3:] = big, -big
+        else:
+            blo = lo[s:e].min(axis=0)
+            bhi = hi[s:e].max(axis=0)
+            pad = 1e-3 * (bhi - blo) + 1e-4
+            aabbs[b, :3] = blo - pad
+            aabbs[b, 3:] = bhi + pad
+
+    # near-to-far block order from the (fixed) camera position: primary
+    # rays fill the running-t early, so far blocks fail the t-prune and
+    # skip their DMA + row scan entirely
+    campos = np.asarray(make_camera(z_sign=-1.0).pos, np.float32)
+    cdist = np.linalg.norm(
+        np.clip(campos, aabbs[:, :3], np.maximum(aabbs[:, 3:],
+                                                 aabbs[:, :3])) - campos,
+        axis=-1)
+    cdist[aabbs[:, 0] > aabbs[:, 3]] = np.inf  # empty padding blocks last
+    border = np.argsort(cdist, kind="stable")
+    aabbs = aabbs[border]
+
+    # row 12 carries each triangle's ORIGINAL index (exact in f32 below
+    # 2^24) for the blocked scan's tie-break; padded rows: det==0 + idx big
+    tblT = np.zeros((16, ntp), np.float32)
+    tblT[12, :] = np.float32(2 ** 24)
+    for newb, oldb in enumerate(border):
+        s = oldb * _TRI_BLOCK
+        e = min(s + _TRI_BLOCK, nt)
+        if s >= nt:
+            continue
+        ds_ = newb * _TRI_BLOCK
+        tblT[:12, ds_:ds_ + (e - s)] = tbl[s:e].T
+        tblT[12, ds_:ds_ + (e - s)] = order[s:e].astype(np.float32)
+    return tblT, aabbs
 
 
 def _scene_const(scn):
@@ -368,66 +648,111 @@ def _scene_const(scn):
     }
 
 
+# SMEM is ~32KB total (measured; see ops/pallas_bpt.py): up to 512
+# triangle rows live directly in SMEM; larger meshes switch to the
+# Morton-blocked DMA-streamed scan (block AABBs in SMEM: 24 B/block), up
+# to the reference's own MAX_TRIANGLES (trianglegrid .c:15).
+_MAX_SMEM_TRIANGLES = 512
+_MAX_BLOCKED_TRIANGLES = 1 << 16
+
+
 def supported(scn, quirks: Quirks, illum_fn, tri_override,
               max_bounces: int) -> bool:
     """The megakernel covers the mirror-free super family: default/reference
     estimator quirks (not the _lmem carry-t aliasing), standard direct
     lighting, brute-force primitives, sphere material 3 (no reachable
-    mirror branch - models/super.py:159)."""
+    mirror branch - models/super.py:159), and meshes up to the reference's
+    MAX_TRIANGLES (65536; SMEM-resident <= 512, Morton-blocked above)."""
     return (illum_fn is None and tri_override is None
             and not quirks.shadow_carry_t
-            and scn.lights.shape[0] <= 8)
+            and scn.lights.shape[0] <= 8
+            and scn.tri_v0.shape[0] <= _MAX_BLOCKED_TRIANGLES)
 
 
 def film_super_mega(key, scn, width: int, height: int, spp: int,
                     spp_offset=0, spp_total: int | None = None,
                     quirks: Quirks = None, row_offset=0,
-                    rows: int | None = None, interpret: bool = False):
+                    rows: int | None = None, interpret: bool = False,
+                    force_blocked: bool | None = None):
     """Drop-in for models/super.py::film_super on the supported family:
-    returns the pre-ambient (rows, W, 3) float32 film."""
+    returns the pre-ambient (rows, W, 3) float32 film.  Meshes beyond 512
+    triangles use the Morton-blocked DMA-streamed scan (``force_blocked``
+    overrides the size switch for tests)."""
     if spp_total is None:
         spp_total = spp
     if rows is None:
         rows = height
     neg_t = bool(quirks.accept_negative_t) if quirks is not None else False
     nt = int(scn.tri_v0.shape[0])
-    ntp = max(_TRI_UNROLL, -(-nt // _TRI_UNROLL) * _TRI_UNROLL)
-    tbl = np.zeros((ntp, 12), np.float32)  # padded rows: det==0, never hit
-    if nt:
-        from .intersect import _tri_table
-        tbl[:nt] = _tri_table(scn)
+    blocked = nt > _MAX_SMEM_TRIANGLES
+    if force_blocked is not None:
+        blocked = force_blocked and nt > 0
 
     R = width * rows
-    n_tiles = -(-R // _TILE)
+    if blocked:
+        tiles_x = -(-width // _TW)
+        tiles_y = -(-rows // _TH)
+        n_tiles = tiles_x * tiles_y
+    else:
+        n_tiles = -(-R // _TILE)
     scalars = jnp.asarray([[
         jnp.asarray(key[0], _U32), jnp.asarray(key[1], _U32),
         jnp.asarray(spp_offset, _U32), jnp.asarray(spp_total, _U32),
         jnp.asarray(row_offset, _U32), 0, 0, 0]], dtype=_U32)
 
+    if blocked:
+        tblT, aabbs = _tri_blocks(scn)
+        n_blocks = aabbs.shape[0]
+        tri_inputs = [jnp.asarray(aabbs), jnp.asarray(tblT)]
+        tri_specs = [
+            pl.BlockSpec((n_blocks, 6), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
+                          pltpu.SemaphoreType.DMA]
+        ntp = tblT.shape[1]
+    else:
+        n_blocks = 0
+        ntp = max(_TRI_UNROLL, -(-nt // _TRI_UNROLL) * _TRI_UNROLL)
+        tbl = np.zeros((ntp, 12), np.float32)  # padded rows: det==0 never hit
+        if nt:
+            from .intersect import _tri_table
+            tbl[:nt] = _tri_table(scn)
+        tri_inputs = [jnp.asarray(tbl)]
+        tri_specs = [pl.BlockSpec((ntp, 12), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)]
+        scratch_shapes = []
+
     kernel = functools.partial(
         _mega_kernel, width=width, spp=spp, scn_const=_scene_const(scn),
-        neg_t=neg_t, nt=nt)
+        neg_t=neg_t, nt=nt, n_blocks=n_blocks)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ntp, 12), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        ] + tri_specs,
         out_specs=pl.BlockSpec((3 * _SUB, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * 3 * _SUB, 128),
                                        jnp.float32),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=R * spp * (150 * max(1, nt) + 500),
             bytes_accessed=R * 12 + ntp * 48,
             transcendentals=R * spp * 8,
         ),
         interpret=interpret,
-    )(scalars, jnp.asarray(tbl))
+    )(scalars, *tri_inputs)
 
+    if blocked:
+        # (ty, tx, 3, TH, TW) -> (ty*TH, tx*TW, 3), ghost pixels dropped
+        film = (out.reshape(tiles_y, tiles_x, 3, _TH, _TW)
+                .transpose(0, 3, 1, 4, 2)
+                .reshape(tiles_y * _TH, tiles_x * _TW, 3))
+        return film[:rows, :width]
     film = (out.reshape(n_tiles, 3, _SUB, 128)
             .transpose(0, 2, 3, 1)
             .reshape(n_tiles * _TILE, 3)[:R])
