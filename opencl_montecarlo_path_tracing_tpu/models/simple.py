@@ -92,8 +92,19 @@ def render_simple(key, width: int = 512, height: int = 512, spp: int = 64,
                   spp_offset: int = 0, spp_total: int | None = None,
                   quirks: Quirks = DEFAULT, max_bounces: int = C.MAX_BOUNCES):
     """Render the business-card scene; returns the pre-ambient float film
-    (H, W, 3).  Finalize with utils.pam.film_to_rgba8."""
+    (H, W, 3).  Finalize with utils.pam.film_to_rgba8.
+
+    On TPU this routes to the Pallas megakernel (ops/pallas_simple.py),
+    which runs the full 5-bounce mirror recursion in one kernel
+    (PT_NO_MEGAKERNEL=1 forces the XLA wavefront; film equality pinned by
+    tests/test_megakernel.py)."""
+    import os
     scn = prep_scene(simple_scene())
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("PT_NO_MEGAKERNEL")):
+        from ..ops.pallas_simple import film_simple_mega
+        return film_simple_mega(key, scn, width, height, spp, spp_offset,
+                                spp_total, quirks, max_bounces=max_bounces)
     sample_fn = functools.partial(_sample, key, scn, quirks, max_bounces)
     return C.accumulate_spp(sample_fn, width, height, spp,
                             spp_offset=spp_offset, spp_total=spp_total)
