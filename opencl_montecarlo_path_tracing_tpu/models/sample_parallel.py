@@ -71,8 +71,34 @@ def render_sample_parallel(key, scene: Scene | SceneArrays, width: int = 512,
                            return_samples: bool = False):
     """Returns the final (H, W, 4) uint8 image (and optionally the float
     sample buffer). The whole pipeline - sampling and reduction - runs as
-    one device program."""
+    one device program.
+
+    On TPU (when the full sample buffer is not requested) this routes
+    through the super megakernel: ray ids are keyed (pixel*spp + sample)
+    in BOTH layouts, so the megakernel's spp accumulation computes the
+    same per-pixel sum as reduce_samples' tree - to float summation
+    order (within-pixel reassociation can flip a uint8 on exact integer
+    boundaries; tests/test_megakernel.py::test_nodof_megakernel_route
+    pins the <= 1 ULP bound).  PT_NO_MEGAKERNEL=1 forces the XLA
+    sample-buffer pipeline."""
+    import os
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    if not return_samples and jax.default_backend() == "tpu" \
+            and not os.environ.get("PT_NO_MEGAKERNEL"):
+        from ..ops import pallas_super as _mega
+        if _mega.supported(scn, quirks, None, None, max_bounces):
+            from ..ops.reduce import quantize_film
+            spp = sample_grid * sample_grid
+            cfg = (scn.fingerprint(), width, height, sample_grid, quirks,
+                   max_bounces, "mega")
+            fn = _COMPILED.get(cfg)
+            if fn is None:
+                fn = jax.jit(lambda k: quantize_film(
+                    _mega.film_super_mega(k, scn, width, height, spp,
+                                          quirks=quirks),
+                    wrap=quirks.wrap_uint8))
+                _COMPILED[cfg] = fn
+            return fn(key)
     cfg = (scn.fingerprint(), width, height, sample_grid, quirks,
            max_bounces, return_samples)
     fn = _COMPILED.get(cfg)

@@ -16,20 +16,28 @@ import jax.numpy as jnp
 AMBIENT = np.float32(13.0)
 
 
+def quantize_film(film, wrap: bool = False):
+    """Pre-ambient (H, W, 3) float film -> (H, W, 4) uint8: + ambient,
+    trunc, alpha=255 (reduce4img_lmem's epilogue, ocl:268-271).  ``wrap``
+    reproduces the non-saturating convert_uchar4 (ocl:271)."""
+    film = film + AMBIENT
+    if wrap:
+        rgb = jnp.trunc(film).astype(jnp.int32).astype(jnp.uint8)
+    else:
+        rgb = jnp.clip(jnp.trunc(film), 0.0, 255.0).astype(jnp.uint8)
+    h, w, _ = film.shape
+    alpha = jnp.full((h, w, 1), 255, jnp.uint8)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
 def reduce_samples(samples, sample_grid: int, wrap: bool = False):
     """(H*sg, W*sg, 3) float32 sample buffer -> (H, W, 4) uint8 image.
 
     Slot (i, j) of the buffer belongs to pixel (i >> log2(sg), j >> ...)
     exactly like the reference's gid>>3 mapping (ocl:223-224).
-    ``wrap`` reproduces the non-saturating convert_uchar4 (ocl:271).
     """
     sg = sample_grid
     hh, ww, _ = samples.shape
     h, w = hh // sg, ww // sg
-    film = samples.reshape(h, sg, w, sg, 3).sum(axis=(1, 3)) + AMBIENT
-    if wrap:
-        rgb = jnp.trunc(film).astype(jnp.int32).astype(jnp.uint8)
-    else:
-        rgb = jnp.clip(jnp.trunc(film), 0.0, 255.0).astype(jnp.uint8)
-    alpha = jnp.full((h, w, 1), 255, jnp.uint8)
-    return jnp.concatenate([rgb, alpha], axis=-1)
+    return quantize_film(samples.reshape(h, sg, w, sg, 3).sum(axis=(1, 3)),
+                         wrap=wrap)
