@@ -30,12 +30,13 @@ import numpy as np
 # < 1.0 is a regression.
 FLOORS = {
     "super": 170.0,          # north star 100; measured 229 r2 (megakernel)
-    "simple": 55.0,          # measured 76.5 r1
-    "nodof": 25.0,           # measured 34.9 r1
-    "bidirectional": 24.0,   # measured 32.9 r2 (MXU gather)
-    "metropolis": 9.0,       # measured 12.3 r2 (MXU gather)
-    "metropolis_vlpgrid": 3.5,  # measured 4.8 r1
-    "trianglegrid": 0.1,     # measured 0.2 r1 (gather-bound; see PERF.md)
+    "simple": 65.0,          # measured 86.9 r2 (simple megakernel)
+    "nodof": 50.0,           # measured 69.8 r2 (megakernel route)
+    "bidirectional": 60.0,   # measured 83.4 r2 (VLP megakernel)
+    "metropolis": 20.0,      # measured 28.2 r2 (VLP megakernel, DMA chunks)
+    "metropolis_vlpgrid": 15.0,  # measured 20.5 r2 (masked dense scan)
+    "trianglegrid": 10.0,    # measured 17.9 r2 (megakernel route; the
+                             # forced-DDA path is 0.2, accel="dda")
 }
 
 # standard (size, spp) per variant in all-mode - the docs/BENCHMARKS.md rows
@@ -107,18 +108,21 @@ def bench_one(variant: str, scene, tag: str, size: int, spp: int,
     paths = size * size * spp_of(variant, spp)
     mpaths = paths / best / 1e6
 
+    # ratios derive from the ROUNDED value so the emitted record is
+    # self-consistent (vs_floor == value / floor up to 4-decimal rounding)
+    value = round(mpaths, 2)
     out = {
         "metric": f"{variant}_pathtracer_throughput",
-        "value": round(mpaths, 2),
+        "value": value,
         "unit": "Mpaths/s/chip",
-        "vs_baseline": round(mpaths / 100.0, 4),
+        "vs_baseline": round(value / 100.0, 4),
         "config": f"{size}x{size} spp={spp_of(variant, spp)} scene={tag}",
         "film_mean": round(float(np.asarray(film, np.float64).mean()), 4),
     }
     floor = FLOORS.get(variant)
     if floor:
         out["floor"] = floor
-        out["vs_floor"] = round(mpaths / floor, 4)
+        out["vs_floor"] = round(value / floor, 4)
     return out
 
 

@@ -7,6 +7,7 @@ full reference scene, in interpret mode on the CPU mesh."""
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from opencl_montecarlo_path_tracing_tpu.core.rng import make_key
 from opencl_montecarlo_path_tracing_tpu.core.quirks import (
@@ -77,3 +78,258 @@ def test_megakernel_gate():
     assert not M.supported(scn, REFERENCE_LMEM, None, None, 5)
     assert not M.supported(scn, DEFAULT, lambda *a: None, None, 5)
     assert not M.supported(scn, DEFAULT, None, lambda *a: None, 5)
+
+
+def test_megakernel_blocked_matches_smem():
+    """The Morton-blocked DMA-streamed triangle scan (large meshes) must
+    render the same film as the SMEM-resident scan: conservative AABB
+    skips never change the result."""
+    scn = prep_scene(small_scene())
+    key = make_key(12)
+    a = np.asarray(M.film_super_mega(key, scn, 40, 12, 2, quirks=DEFAULT,
+                                     interpret=True, force_blocked=False))
+    b = np.asarray(M.film_super_mega(key, scn, 40, 12, 2, quirks=DEFAULT,
+                                     interpret=True, force_blocked=True))
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
+def test_megakernel_blocked_reference_quirks():
+    """neg_t quirk mode disables the eps/t prunes; results still match."""
+    scn = prep_scene(small_scene())
+    key = make_key(13)
+    a = ref_film(key, scn, 16, 16, 2, quirks=REFERENCE)
+    b = np.asarray(M.film_super_mega(key, scn, 16, 16, 2, quirks=REFERENCE,
+                                     interpret=True, force_blocked=True))
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
+def test_tri_blocks_structure():
+    """Morton blocks: a permutation of the triangle table with original
+    indices in row 12, conservative AABBs containing every member
+    triangle's vertices (padding columns carry index 2^24)."""
+    scn = prep_scene(small_scene())
+    from opencl_montecarlo_path_tracing_tpu.ops.intersect import _tri_table
+    tblT, aabbs = M._tri_blocks(scn)
+    nt = scn.tri_v0.shape[0]
+    orig = _tri_table(scn)
+    real = tblT[12] < 2 ** 24
+    assert int(real.sum()) == nt
+    idx = tblT[12, real].astype(int)
+    assert sorted(idx) == list(range(nt))
+    # row 12's index maps each column back to its original table row
+    np.testing.assert_array_equal(tblT[:12, real].T, orig[idx])
+    for bi in range(aabbs.shape[0]):
+        cols = np.arange(bi * M._TRI_BLOCK, (bi + 1) * M._TRI_BLOCK)
+        cols = cols[real[cols]]
+        if cols.size == 0:
+            assert aabbs[bi, 0] > aabbs[bi, 3]  # empty box
+            continue
+        rows = tblT[:12, cols].T
+        v0 = rows[:, 0:3]
+        for v in (v0, v0 + rows[:, 3:6], v0 + rows[:, 6:9]):
+            assert (v >= aabbs[bi, :3] - 1e-5).all()
+            assert (v <= aabbs[bi, 3:] + 1e-5).all()
+
+
+# --- simple megakernel (ops/pallas_simple.py): multi-bounce mirrors ---
+
+from opencl_montecarlo_path_tracing_tpu.models.simple import render_simple  # noqa: E402
+from opencl_montecarlo_path_tracing_tpu.ops import pallas_simple as SM  # noqa: E402
+from opencl_montecarlo_path_tracing_tpu.ops.intersect import prep_scene as _prep  # noqa: E402
+from opencl_montecarlo_path_tracing_tpu.scene.scene import simple_scene  # noqa: E402
+
+
+def test_simple_megakernel_matches_xla():
+    key = make_key(20)
+    scn = _prep(simple_scene())
+    a = np.asarray(render_simple(key, 40, 12, spp=2))  # CPU -> XLA path
+    b = np.asarray(SM.film_simple_mega(key, scn, 40, 12, 2, quirks=DEFAULT,
+                                       interpret=True))
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
+def test_simple_megakernel_reference_quirks_and_window():
+    """Specular divFact-multiply quirk + spp window/row band."""
+    key = make_key(21)
+    scn = _prep(simple_scene())
+    a = np.asarray(render_simple(key, 16, 16, spp=2, spp_offset=1,
+                                 spp_total=4, quirks=REFERENCE))[4:8]
+    b = np.asarray(SM.film_simple_mega(key, scn, 16, 16, 2, spp_offset=1,
+                                       spp_total=4, quirks=REFERENCE,
+                                       row_offset=4, rows=4,
+                                       interpret=True))
+    assert b.shape == (4, 16, 3)
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
+def test_nodof_megakernel_route():
+    """The NoDoF image via the megakernel == the XLA sample-buffer +
+    reduce pipeline to within 1 uint8 step (within-pixel float summation
+    is reassociated: the megakernel accumulates spp sequentially, the
+    reducer sums a (sg, sg) tree - models/sample_parallel.py)."""
+    from opencl_montecarlo_path_tracing_tpu.models.sample_parallel import (
+        render_sample_parallel)
+    from opencl_montecarlo_path_tracing_tpu.ops.reduce import quantize_film
+    from tests.test_render_super import small_scene as _ss
+    scn = prep_scene(_ss())
+    key = make_key(15)
+    a = np.asarray(render_sample_parallel(key, scn, 24, 8, sample_grid=2))
+    film = M.film_super_mega(key, scn, 24, 8, 4, quirks=DEFAULT,
+                             interpret=True)
+    b = np.asarray(quantize_film(film))
+    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert d.max() <= 1
+    assert (d == 0).mean() > 0.99
+
+
+# --- VLP megakernel (ops/pallas_bpt.py): bidirectional/metropolis render ---
+
+from opencl_montecarlo_path_tracing_tpu.models.bidirectional import (  # noqa: E402
+    film_bidirectional)
+from opencl_montecarlo_path_tracing_tpu.ops import pallas_bpt as B  # noqa: E402
+from opencl_montecarlo_path_tracing_tpu.ops import vlp as vlpmod  # noqa: E402
+
+
+def vlp_ref_film(key, scn, vlps, w, h, spp, quirks=DEFAULT, **kw):
+    """XLA pipeline (the CPU backend never takes the mega route)."""
+    return np.asarray(jax.jit(
+        lambda k: film_bidirectional(k, scn, w, h, spp,
+                                     kw.get("spp_offset", 0),
+                                     kw.get("spp_total", spp), 8, quirks,
+                                     precomputed_vlps=vlps))(key))
+
+
+def test_vlp_megakernel_matches_xla():
+    scn = prep_scene(small_scene())
+    key = make_key(7)
+    vlps = vlpmod.emit_vlps(key, scn, 24)
+    a = vlp_ref_film(key, scn, vlps, 40, 12, 2)
+    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 40, 12, 2,
+                                   quirks=DEFAULT, interpret=True))
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
+def test_vlp_megakernel_mlt_vlps_and_window():
+    """Metropolis VLP table (zero rows, depth-halved intensities) + the
+    sharded renderers' spp window/row band parameters."""
+    from opencl_montecarlo_path_tracing_tpu.models.metropolis import mlt_vlps
+    scn = prep_scene(small_scene())
+    key = make_key(8)
+    vlps = mlt_vlps(key, scn, 8, 2, DEFAULT, 1e-3)
+    kw = dict(spp_offset=1, spp_total=4, row_offset=4, rows=4)
+    a = np.asarray(jax.jit(
+        lambda k: film_bidirectional(k, scn, 16, 16, 2, 1, 4, 8, DEFAULT,
+                                     precomputed_vlps=vlps))(key))[4:8]
+    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 16, 16, 2,
+                                   quirks=DEFAULT, interpret=True, **kw))
+    assert b.shape == (4, 16, 3)
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
+def test_vlp_megakernel_chunked_matches_direct():
+    """Large VLP tables stream from HBM in DMA chunks (SMEM is ~32KB);
+    the streaming path must equal the direct-SMEM path exactly."""
+    scn = prep_scene(small_scene())
+    key = make_key(9)
+    vlps = vlpmod.emit_vlps(key, scn, 24)
+    a = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2, quirks=DEFAULT,
+                                   interpret=True, force_chunked=False))
+    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2, quirks=DEFAULT,
+                                   interpret=True, force_chunked=True))
+    np.testing.assert_array_equal(b, a)
+
+
+def test_vlp_megakernel_gate():
+    scn = prep_scene(small_scene())
+    assert B.supported(scn, DEFAULT, None, None)
+    assert B.supported(scn, REFERENCE, None, None)
+    assert B.supported(scn, DEFAULT, object(), None)       # VLP grid: covered
+    assert not B.supported(scn, REFERENCE_LMEM, None, None)
+    assert not B.supported(scn, DEFAULT, None, object())   # tri override
+
+
+def _vlp_grid(vlps, modifier=3.0):
+    res = vlpmod.vlp_grid_static_res(int(vlps.shape[0]), modifier)
+    return vlpmod.build_vlp_grid(vlps, res)
+
+
+def test_vlp_megakernel_grid_matches_xla():
+    """Grid mode: the cell-range-masked dense scan == the XLA per-cell
+    list gather (gather_vlps_grid), on a grid with no overflowing cells
+    (the masked scan is uncapped - pallas_bpt.py module docstring)."""
+    scn = prep_scene(small_scene())
+    key = make_key(10)
+    vlps = vlpmod.emit_vlps(key, scn, 24)
+    grid = _vlp_grid(vlps)
+    cnt = np.asarray(grid.counts)
+    live = np.asarray(vlps[:, 3]) > 0
+    assert cnt.max() < grid.items.shape[1] or not live.all()
+    a = np.asarray(jax.jit(
+        lambda k: film_bidirectional(k, scn, 40, 12, 2, 0, 2, 8, DEFAULT,
+                                     use_grid=True, precomputed_vlps=vlps,
+                                     precomputed_grid=grid))(key))
+    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 40, 12, 2,
+                                   quirks=DEFAULT, interpret=True,
+                                   grid=grid))
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
+def test_vlp_megakernel_grid_traced_res():
+    """The staged CLI pipeline (--profile-stages) passes the built grid
+    across a jit boundary, so EVERY grid field - including res - arrives
+    as a tracer; the kernel must take them as runtime scalars (caught by
+    the round-2 verify drive: ConcretizationTypeError on int(grid.res))."""
+    scn = prep_scene(small_scene())
+    key = make_key(16)
+    vlps = vlpmod.emit_vlps(key, scn, 24)
+    grid = _vlp_grid(vlps)
+    a = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2, quirks=DEFAULT,
+                                   interpret=True, grid=grid))
+    b = np.asarray(jax.jit(
+        lambda k, v, g: B.film_vlp_mega(k, scn, v, 24, 8, 2, quirks=DEFAULT,
+                                        interpret=True, grid=g))(
+        key, vlps, grid))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-7)
+
+
+def test_vlp_megakernel_grid_chunked_matches_direct():
+    scn = prep_scene(small_scene())
+    key = make_key(11)
+    vlps = vlpmod.emit_vlps(key, scn, 24)
+    grid = _vlp_grid(vlps)
+    a = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2, quirks=DEFAULT,
+                                   interpret=True, grid=grid,
+                                   force_chunked=False))
+    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2, quirks=DEFAULT,
+                                   interpret=True, grid=grid,
+                                   force_chunked=True))
+    np.testing.assert_array_equal(b, a)
+
+
+def test_vlp_megakernel_grid_outside_box_dark():
+    """Shading points outside the VLP bounding box gather nothing
+    (gather_vlps_grid's in-box check): shrink the grid to a corner and the
+    masked scan must agree with the XLA gather everywhere."""
+    from opencl_montecarlo_path_tracing_tpu.ops import grid as gridmod
+    scn = prep_scene(small_scene())
+    key = make_key(14)
+    vlps = vlpmod.emit_vlps(key, scn, 24)
+    # a tiny grid nowhere near most shading points
+    vmin = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    cell = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+    res = (2, 2, 2)
+    vi = vlps[:, 3]
+    r = 16.0 * jnp.sqrt(jnp.maximum(vi, 0.0))
+    ok = vi > 0
+    far = jnp.float32(3e38)
+    amin = jnp.where(ok[:, None], vlps[:, :3] - r[:, None], far)
+    amax = jnp.where(ok[:, None], vlps[:, :3] + r[:, None], far)
+    grid = gridmod.build_grid_cellscan(amin, amax, vmin, cell, res)
+    a = np.asarray(jax.jit(
+        lambda k: film_bidirectional(k, scn, 24, 8, 2, 0, 2, 8, DEFAULT,
+                                     use_grid=True, precomputed_vlps=vlps,
+                                     precomputed_grid=grid))(key))
+    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2,
+                                   quirks=DEFAULT, interpret=True,
+                                   grid=grid))
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
