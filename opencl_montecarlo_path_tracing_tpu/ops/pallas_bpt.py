@@ -66,13 +66,14 @@ _VLP_CHUNK = 512           # VLPs per DMA chunk (lane-tiling: multiple of 128)
 _VLP_CHUNK_GRID = 256      # grid mode: 11 live rows -> 16-row tile, same 16KB
 
 
-def _gather_rows(read, n_rows: int, x, y, z, nx, ny, nz, ndx, x2, acc,
+def _gather_rows(read, n_rows, x, y, z, nx, ny, nz, ndx, x2, acc,
                  cell=None):
     """Accumulate max(lamb, 0) * min(I/d^2, 1) over ``n_rows`` VLPs
-    (ocl:166-187).  ``read(row) -> (px, py, pz, I, |p|^2[, clo3, chi3])``
-    yields SMEM scalars broadcast against the ray vregs.  Same expanded
-    distance + 1e-12 clamp as the XLA scan (ops/vlp.py::gather_vlps), so
-    the two paths agree to float rounding.
+    (ocl:166-187; may be a traced scalar - the live count).  ``read(row)
+    -> (px, py, pz, I, |p|^2[, clo3, chi3])`` yields SMEM scalars
+    broadcast against the ray vregs.  Same expanded distance + 1e-12
+    clamp as the XLA scan (ops/vlp.py::gather_vlps), so the two paths
+    agree to float rounding.
 
     ``cell`` (grid mode) is (cxf, cyf, czf, in_box): the row's extra 6
     scalars are its clipped cell-index AABB and the pair contributes only
@@ -102,44 +103,48 @@ def _gather_rows(read, n_rows: int, x, y, z, nx, ny, nz, ndx, x2, acc,
             acc = acc + contrib
         return acc
 
-    return jax.lax.fori_loop(0, n_rows // _VLP_UNROLL, body, acc)
+    return jax.lax.fori_loop(0, -(-n_rows // _VLP_UNROLL), body, acc)
 
 
-def _gather_vlps_k(vlp_ref, x, y, z, nx, ny, nz, nv: int, cell=None):
+def _gather_vlps_k(vlp_ref, x, y, z, nx, ny, nz, n_live, cell=None):
     """VLP gather, direct mode: the whole (nvp, 5|11) table
-    (px, py, pz, I, |p|^2[, cell-range]) resides in SMEM."""
+    (px, py, pz, I, |p|^2[, cell-range]) resides in SMEM; only the first
+    ``n_live`` compacted rows are scanned (runtime bound)."""
     ndx = nx * x + ny * y + nz * z
     x2 = x * x + y * y + z * z
     ncols = 5 if cell is None else 11
-    nvp = -(-nv // _VLP_UNROLL) * _VLP_UNROLL
     read = lambda r: tuple(vlp_ref[r, j] for j in range(ncols))  # noqa: E731
-    return _gather_rows(read, nvp, x, y, z, nx, ny, nz, ndx, x2,
+    return _gather_rows(read, n_live, x, y, z, nx, ny, nz, ndx, x2,
                         jnp.zeros(x.shape, jnp.float32), cell)
 
 
 def _gather_vlps_chunked_k(vlp_hbm, scratch, sem, x, y, z, nx, ny, nz,
-                           n_chunks: int, cell=None):
+                           n_live, cell=None):
     """VLP gather, streaming mode for tables beyond the SMEM budget: the
     (8|16, nvp) transposed table lives in HBM and is DMA'd into an SMEM
     scratch chunk by chunk (the transpose keeps every chunk's lane slice
     128-aligned, the Mosaic memref-slice requirement).  One chunk's
     compute (~512 x 40 VPU ops) dwarfs its 16KB DMA, so no double
-    buffering is needed."""
+    buffering is needed.  Only ceil(n_live / chunk) chunks run (runtime
+    bound); rows beyond n_live inside the last chunk have I == 0 and
+    contribute exactly +0.0."""
     from jax.experimental.pallas import tpu as pltpu
     ndx = nx * x + ny * y + nz * z
     x2 = x * x + y * y + z * z
-    acc = jnp.zeros(x.shape, jnp.float32)
     ncols = 5 if cell is None else 11
     chunk = _VLP_CHUNK if cell is None else _VLP_CHUNK_GRID
     read = lambda r: tuple(scratch[j, r] for j in range(ncols))  # noqa: E731
-    for c in range(n_chunks):
+
+    def chunk_body(c, acc):
         cp = pltpu.make_async_copy(
             vlp_hbm.at[:, pl.ds(c * chunk, chunk)], scratch, sem)
         cp.start()
         cp.wait()
-        acc = _gather_rows(read, chunk, x, y, z, nx, ny, nz, ndx, x2,
-                           acc, cell)
-    return acc
+        return _gather_rows(read, chunk, x, y, z, nx, ny, nz, ndx, x2,
+                            acc, cell)
+
+    return jax.lax.fori_loop(0, -(-n_live // chunk), chunk_body,
+                             jnp.zeros(x.shape, jnp.float32))
 
 
 def _vlp_mega_kernel(scalars_ref, gridp_ref, tbl_ref, vlp_ref, out_ref,
@@ -151,6 +156,9 @@ def _vlp_mega_kernel(scalars_ref, gridp_ref, tbl_ref, vlp_ref, out_ref,
     spp_offset = scalars_ref[0, 2]
     spp_total = scalars_ref[0, 3]
     row_offset = scalars_ref[0, 4]
+    # live-VLP count (compacted to the front of the table, film_vlp_mega);
+    # int32: the ceil-div loop bounds negate it
+    n_live = scalars_ref[0, 5].astype(jnp.int32)
 
     tile = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 128), 1)
@@ -207,10 +215,11 @@ def _vlp_mega_kernel(scalars_ref, gridp_ref, tbl_ref, vlp_ref, out_ref,
         # 166-189).  Non-shading (sky) lanes never read ti in the epilogue.
         if n_chunks:
             gsum = _gather_vlps_chunked_k(vlp_ref, scratch[0], scratch[1],
-                                          x, y, z, nx, ny, nz, n_chunks,
+                                          x, y, z, nx, ny, nz, n_live,
                                           cell)
         else:
-            gsum = _gather_vlps_k(vlp_ref, x, y, z, nx, ny, nz, nv, cell)
+            gsum = _gather_vlps_k(vlp_ref, x, y, z, nx, ny, nz, n_live,
+                                  cell)
         ti = jnp.minimum(gsum, one)
 
         # soft-shadow correction: -1/nlights per occluded real light, shadow
@@ -287,6 +296,17 @@ def film_vlp_mega(key, scn, vlps, width: int, height: int, spp: int,
 
     nv = int(vlps.shape[0])
     nvp = max(_VLP_UNROLL, -(-nv // _VLP_UNROLL) * _VLP_UNROLL)
+
+    # live-first stable compaction + runtime row bound: a dead row
+    # (I <= 0) contributes exactly +0.0 to every accumulator, so scanning
+    # only the first n_live compacted rows is bit-identical to the full
+    # scan - and typical tables are ~1% live (bidirectional 6/1024, MLT
+    # 11/4096 at the bench configs; the reference scans all of them,
+    # bidirectionalpathtracer.ocl:167).
+    live = vlps[:, 3] > 0
+    vlps = vlps[jnp.argsort(jnp.logical_not(live), stable=True)]
+    n_live = jnp.sum(live).astype(_U32)
+
     p = vlps[:, :3]
     cols = [p, jnp.maximum(vlps[:, 3:4], 0.0),
             jnp.sum(p * p, axis=-1, keepdims=True)]
@@ -336,10 +356,11 @@ def film_vlp_mega(key, scn, vlps, width: int, height: int, spp: int,
 
     R = width * rows
     n_tiles = -(-R // _TILE)
-    scalars = jnp.asarray([[
+    scalars = jnp.stack([
         jnp.asarray(key[0], _U32), jnp.asarray(key[1], _U32),
         jnp.asarray(spp_offset, _U32), jnp.asarray(spp_total, _U32),
-        jnp.asarray(row_offset, _U32), 0, 0, 0]], dtype=_U32)
+        jnp.asarray(row_offset, _U32), n_live,
+        jnp.zeros((), _U32), jnp.zeros((), _U32)]).reshape(1, 8)
 
     if chunked:
         vlp_spec = pl.BlockSpec(memory_space=pl.ANY)

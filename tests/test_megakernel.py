@@ -190,6 +190,12 @@ from opencl_montecarlo_path_tracing_tpu.ops import pallas_bpt as B  # noqa: E402
 from opencl_montecarlo_path_tracing_tpu.ops import vlp as vlpmod  # noqa: E402
 
 
+# the kernel computes rsqrt(d2) and I*rs^2 where the XLA scan divides
+# (lamb_num/sqrt, I/d2): ~1-ulp-per-term rounding, so the VLP films get a
+# slightly looser bound than ATOL (observed max 2.2e-5 over a 10-VLP sum)
+ATOL_VLP = 6e-5
+
+
 def vlp_ref_film(key, scn, vlps, w, h, spp, quirks=DEFAULT, **kw):
     """XLA pipeline (the CPU backend never takes the mega route)."""
     return np.asarray(jax.jit(
@@ -199,14 +205,44 @@ def vlp_ref_film(key, scn, vlps, w, h, spp, quirks=DEFAULT, **kw):
                                      precomputed_vlps=vlps))(key))
 
 
+# the camera frame is fixed for 512x512 (eye_offset = -256*(up+right),
+# core/camera.py); rows 300+ of the LEFT 40 columns are all floor with
+# shading points at world x ~ 20-29, y ~ -89..-60 - the content band the
+# gather tests render (a window at the origin is all sky and would make
+# gather equality vacuous)
+CONTENT_ROW = 300
+
+
+def synth_vlps(n_live=10, n_dead=14, seed=0):
+    """Hand-built VLP table with guaranteed live rows interleaved with
+    dead ones, placed over the content band's floor points.  Emission on
+    the small test scene yields almost no live VLPs (most light-pass
+    rays miss), which made a plain emit_vlps-based equality test VACUOUS
+    for the gather itself."""
+    rng = np.random.RandomState(seed)
+    n = n_live + n_dead
+    v = np.zeros((n, 4), np.float32)
+    live_idx = rng.choice(n, n_live, replace=False)
+    v[live_idx, 0] = rng.uniform(18.0, 30.0, n_live)
+    v[live_idx, 1] = rng.uniform(-95.0, -55.0, n_live)
+    v[live_idx, 2] = rng.uniform(1.0, 6.0, n_live)    # above the floor
+    v[live_idx, 3] = rng.uniform(0.05, 0.9, n_live)
+    return jnp.asarray(v)
+
+
 def test_vlp_megakernel_matches_xla():
     scn = prep_scene(small_scene())
     key = make_key(7)
-    vlps = vlpmod.emit_vlps(key, scn, 24)
-    a = vlp_ref_film(key, scn, vlps, 40, 12, 2)
-    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 40, 12, 2,
-                                   quirks=DEFAULT, interpret=True))
-    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    vlps = synth_vlps()
+    r0, rr = CONTENT_ROW, 12
+    a = vlp_ref_film(key, scn, vlps, 40, r0 + rr, 2)[r0:]
+    zero = vlp_ref_film(key, scn, jnp.zeros((24, 4), jnp.float32),
+                        40, r0 + rr, 2)[r0:]
+    assert np.abs(a - zero).max() > 1e-3   # the gather actually contributes
+    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 40, r0 + rr, 2,
+                                   quirks=DEFAULT, interpret=True,
+                                   row_offset=r0, rows=rr))
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL_VLP)
 
 
 def test_vlp_megakernel_mlt_vlps_and_window():
@@ -226,12 +262,32 @@ def test_vlp_megakernel_mlt_vlps_and_window():
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
+def test_vlp_megakernel_dead_rows_exact():
+    """Dead VLPs (I == 0) contribute exactly +0.0, so the compacted
+    runtime-bounded scan over a table with dead rows must be
+    BIT-identical to the scan over the live rows alone (the compaction
+    optimisation's correctness claim)."""
+    scn = prep_scene(small_scene())
+    key = make_key(17)
+    vlps = np.asarray(synth_vlps(seed=3))
+    assert (vlps[:, 3] > 0).any() and (vlps[:, 3] <= 0).any()
+    live_only = vlps[vlps[:, 3] > 0]
+    kw = dict(quirks=DEFAULT, interpret=True, row_offset=CONTENT_ROW,
+              rows=8)
+    a = np.asarray(B.film_vlp_mega(key, scn, jnp.asarray(vlps), 24,
+                                   CONTENT_ROW + 8, 2, **kw))
+    assert np.abs(a).max() > 1e-3
+    b = np.asarray(B.film_vlp_mega(key, scn, jnp.asarray(live_only), 24,
+                                   CONTENT_ROW + 8, 2, **kw))
+    np.testing.assert_array_equal(b, a)
+
+
 def test_vlp_megakernel_chunked_matches_direct():
     """Large VLP tables stream from HBM in DMA chunks (SMEM is ~32KB);
     the streaming path must equal the direct-SMEM path exactly."""
     scn = prep_scene(small_scene())
     key = make_key(9)
-    vlps = vlpmod.emit_vlps(key, scn, 24)
+    vlps = synth_vlps(seed=4)
     a = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2, quirks=DEFAULT,
                                    interpret=True, force_chunked=False))
     b = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2, quirks=DEFAULT,
@@ -259,19 +315,26 @@ def test_vlp_megakernel_grid_matches_xla():
     (the masked scan is uncapped - pallas_bpt.py module docstring)."""
     scn = prep_scene(small_scene())
     key = make_key(10)
-    vlps = vlpmod.emit_vlps(key, scn, 24)
+    vlps = synth_vlps(seed=5)
     grid = _vlp_grid(vlps)
     cnt = np.asarray(grid.counts)
-    live = np.asarray(vlps[:, 3]) > 0
-    assert cnt.max() < grid.items.shape[1] or not live.all()
+    assert cnt.max() < grid.items.shape[1]
+    r0, rr = CONTENT_ROW, 12
     a = np.asarray(jax.jit(
-        lambda k: film_bidirectional(k, scn, 40, 12, 2, 0, 2, 8, DEFAULT,
-                                     use_grid=True, precomputed_vlps=vlps,
-                                     precomputed_grid=grid))(key))
-    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 40, 12, 2,
+        lambda k: film_bidirectional(k, scn, 40, r0 + rr, 2, 0, 2, 8,
+                                     DEFAULT, use_grid=True,
+                                     precomputed_vlps=vlps,
+                                     precomputed_grid=grid))(key))[r0:]
+    zero = np.asarray(jax.jit(
+        lambda k: film_bidirectional(k, scn, 40, r0 + rr, 2, 0, 2, 8,
+                                     DEFAULT, use_grid=True,
+                                     precomputed_vlps=jnp.zeros_like(vlps),
+                                     precomputed_grid=grid))(key))[r0:]
+    assert np.abs(a - zero).max() > 1e-3   # grid gather actually contributes
+    b = np.asarray(B.film_vlp_mega(key, scn, vlps, 40, r0 + rr, 2,
                                    quirks=DEFAULT, interpret=True,
-                                   grid=grid))
-    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+                                   grid=grid, row_offset=r0, rows=rr))
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL_VLP)
 
 
 def test_vlp_megakernel_grid_traced_res():
@@ -281,7 +344,7 @@ def test_vlp_megakernel_grid_traced_res():
     the round-2 verify drive: ConcretizationTypeError on int(grid.res))."""
     scn = prep_scene(small_scene())
     key = make_key(16)
-    vlps = vlpmod.emit_vlps(key, scn, 24)
+    vlps = synth_vlps(seed=6)
     grid = _vlp_grid(vlps)
     a = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2, quirks=DEFAULT,
                                    interpret=True, grid=grid))
@@ -295,7 +358,7 @@ def test_vlp_megakernel_grid_traced_res():
 def test_vlp_megakernel_grid_chunked_matches_direct():
     scn = prep_scene(small_scene())
     key = make_key(11)
-    vlps = vlpmod.emit_vlps(key, scn, 24)
+    vlps = synth_vlps(seed=7)
     grid = _vlp_grid(vlps)
     a = np.asarray(B.film_vlp_mega(key, scn, vlps, 24, 8, 2, quirks=DEFAULT,
                                    interpret=True, grid=grid,
@@ -313,7 +376,7 @@ def test_vlp_megakernel_grid_outside_box_dark():
     from opencl_montecarlo_path_tracing_tpu.ops import grid as gridmod
     scn = prep_scene(small_scene())
     key = make_key(14)
-    vlps = vlpmod.emit_vlps(key, scn, 24)
+    vlps = synth_vlps(seed=8)
     # a tiny grid nowhere near most shading points
     vmin = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
     cell = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
