@@ -32,9 +32,9 @@ FLOORS = {
     "super": 170.0,          # north star 100; measured 229 r2 (megakernel)
     "simple": 65.0,          # measured 86.9 r2 (simple megakernel)
     "nodof": 50.0,           # measured 69.8 r2 (megakernel route)
-    "bidirectional": 60.0,   # measured 83.4 r2 (VLP megakernel)
-    "metropolis": 20.0,      # measured 28.2 r2 (VLP megakernel, DMA chunks)
-    "metropolis_vlpgrid": 15.0,  # measured 20.5 r2 (masked dense scan)
+    "bidirectional": 130.0,  # measured 176.6 r2 (megakernel + live compaction)
+    "metropolis": 60.0,      # measured 86.5 r2 (megakernel + live compaction)
+    "metropolis_vlpgrid": 50.0,  # measured 69.7 r2 (masked scan + compaction)
     "trianglegrid": 10.0,    # measured 17.9 r2 (megakernel route; the
                              # forced-DDA path is 0.2, accel="dda")
 }
