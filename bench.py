@@ -29,12 +29,12 @@ import numpy as np
 # as kernels improve.  bench-mode "all" emits vs_floor per variant; a value
 # < 1.0 is a regression.
 FLOORS = {
-    "super": 170.0,          # north star 100; measured 229 r2 (megakernel)
-    "simple": 65.0,          # measured 86.9 r2 (simple megakernel)
-    "nodof": 50.0,           # measured 69.8 r2 (megakernel route)
-    "bidirectional": 130.0,  # measured 176.6 r2 (megakernel + live compaction)
+    "super": 170.0,          # north star 100; measured 229-240 r2 (megakernel)
+    "simple": 65.0,          # measured 87-141 r2 (simple megakernel)
+    "nodof": 50.0,           # measured 70-124 r2 (megakernel route)
+    "bidirectional": 130.0,  # measured 149-177 r2 (megakernel + compaction)
     "metropolis": 60.0,      # measured 86.5 r2 (megakernel + live compaction)
-    "metropolis_vlpgrid": 50.0,  # measured 69.7 r2 (masked scan + compaction)
+    "metropolis_vlpgrid": 50.0,  # measured 70-99 r2 (masked scan + compaction)
     "trianglegrid": 10.0,    # measured 17.9 r2 (megakernel route; the
                              # forced-DDA path is 0.2, accel="dda")
 }
