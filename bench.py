@@ -33,8 +33,8 @@ FLOORS = {
     "simple": 65.0,          # measured 87-141 r2 (simple megakernel)
     "nodof": 50.0,           # measured 70-124 r2 (megakernel route)
     "bidirectional": 130.0,  # measured 149-177 r2 (megakernel + compaction)
-    "metropolis": 60.0,      # measured 86.5 r2 (megakernel + live compaction)
-    "metropolis_vlpgrid": 50.0,  # measured 70-99 r2 (masked scan + compaction)
+    "metropolis": 90.0,      # measured 128 r2 (megakernel + live compaction)
+    "metropolis_vlpgrid": 85.0,  # measured 122 r2 (masked scan + compaction)
     "trianglegrid": 10.0,    # measured 17.9 r2 (megakernel route; the
                              # forced-DDA path is 0.2, accel="dda")
 }

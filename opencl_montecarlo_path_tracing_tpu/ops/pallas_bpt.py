@@ -140,7 +140,12 @@ def _gather_vlps_chunked_k(vlp_hbm, scratch, sem, x, y, z, nx, ny, nz,
             vlp_hbm.at[:, pl.ds(c * chunk, chunk)], scratch, sem)
         cp.start()
         cp.wait()
-        return _gather_rows(read, chunk, x, y, z, nx, ny, nz, ndx, x2,
+        # bound the row scan by the chunk's live rows, not the chunk size:
+        # at ~1% liveness a full-chunk scan costs as much as the whole
+        # primitive trace (the unroll rounds up; the ceil-div rows beyond
+        # n_live are dead and contribute +0.0)
+        rows = jnp.minimum(np.int32(chunk), n_live - c * np.int32(chunk))
+        return _gather_rows(read, rows, x, y, z, nx, ny, nz, ndx, x2,
                             acc, cell)
 
     return jax.lax.fori_loop(0, -(-n_live // chunk), chunk_body,
