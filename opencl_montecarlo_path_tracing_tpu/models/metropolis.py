@@ -71,10 +71,13 @@ def _slot_get(v, slot):
     return jnp.take_along_axis(v, idx, axis=1)[:, 0, :]
 
 
-def _add_vertex(key, scn, quirks, origin, site, attempt):
+def _add_vertex(key, scn, quirks, origin, site, attempt, chain=None):
     """AddRandomVertex (ocl:157-168) batched: random direction, one trace;
-    returns (hit_mask, hit_point)."""
-    chain = jnp.arange(origin.shape[0], dtype=jnp.uint32)
+    returns (hit_mask, hit_point).  ``chain``/``site`` may be per-row
+    arrays - the light-batched path packs all lights into one trace but
+    keeps every (chain, site) draw identical to the per-light version."""
+    if chain is None:
+        chain = jnp.arange(origin.shape[0], dtype=jnp.uint32)
     u1, u2 = rngmod.rand2(key, chain, site)
     d = vlpmod.uniform_sphere(u1, u2)
     tr = trace_ray(origin, d, scn, quirks=quirks, sphere_material=3)
@@ -83,7 +86,7 @@ def _add_vertex(key, scn, quirks, origin, site, attempt):
     return hit, x
 
 
-def _random_path(key, scn, quirks, origin, site_base, build):
+def _random_path(key, scn, quirks, origin, site_base, build, chain=None):
     """GetRandomPath (ocl:171-181) batched: up to 4 chained random vertices."""
     B = origin.shape[0]
     v = jnp.zeros((B, 4, 3), jnp.float32)
@@ -92,7 +95,7 @@ def _random_path(key, scn, quirks, origin, site_base, build):
     building = build
     for i in range(4):
         hit, x = _add_vertex(key, scn, quirks, cur, site_base + np.uint32(i),
-                             building)
+                             building, chain)
         v = v.at[:, i, :].set(jnp.where(hit[:, None], x, v[:, i, :]))
         length = length + hit.astype(jnp.int32)
         cur = jnp.where(hit[:, None], x, cur)
@@ -125,16 +128,19 @@ def _verify(scn, quirks, origin, dest, eps):
     return (tr.material != 0) & close
 
 
-def _mutate(key, scn, quirks, verify_eps, light_origin, v, length, rnd):
-    """One Mutate round (ocl:239-283), batched over all chains."""
+def _mutate(key, scn, quirks, verify_eps, light_origin, v, length, rnd,
+            chain=None):
+    """One Mutate round (ocl:239-283), batched over all chains.  ``rnd``
+    may be a per-chain array (light-batched path: rnd = r + l*rounds)."""
     B = v.shape[0]
-    chain = jnp.arange(B, dtype=jnp.uint32)
+    if chain is None:
+        chain = jnp.arange(B, dtype=jnp.uint32)
     base = _SITE_MLT + rnd * np.uint32(16)
 
     # empty paths: try to build a fresh one (ocl:242-245)
     empty = length == 0
     nv, nl = _random_path(key, scn, quirks, light_origin,
-                          base + np.uint32(_P_REBUILD), empty)
+                          base + np.uint32(_P_REBUILD), empty, chain)
     v = jnp.where(empty[:, None, None], nv, v)
     length = jnp.where(empty, nl, length)
     active = length > 0
@@ -178,7 +184,7 @@ def _mutate(key, scn, quirks, verify_eps, light_origin, v, length, rnd):
         attempt = ok & want & (length < 4)
         origin_j = _slot_get(v, length - 1)
         hit, x = _add_vertex(key, scn, quirks, origin_j,
-                             base + np.uint32(_P_ADD + j), attempt)
+                             base + np.uint32(_P_ADD + j), attempt, chain)
         v = _slot_set(v, length, x, hit)
         length = length + hit.astype(jnp.int32)
         ok = ok & (hit | ~attempt)
@@ -190,41 +196,58 @@ def mlt_vlps(key, scn: SceneArrays, n_seedpaths: int, mutation_rounds: int,
     """Seed + mutate + emit: (nlights * n_seedpaths * 4, 4) VLPs.
 
     total_paths scaling: base intensity / (total_paths / 256) with the
-    reference's integer division (ocl:418), guarded to >= 1."""
+    reference's integer division (ocl:418), guarded to >= 1.
+
+    All lights' chains run in ONE batch (the chain is the sequential
+    bottleneck of the integrator - halving the trace count per round is
+    ~free throughput).  Every threefry draw keys on the per-light chain
+    index and site, so draws, VLP values and output ordering are
+    bit-identical to the per-light loop - the CRN tests against
+    oracle_mlt.py pin this."""
     nlights = int(scn.lights.shape[0])
-    total_paths = n_seedpaths * nlights
+    B = n_seedpaths
+    total_paths = B * nlights
     scale_den = max(1, total_paths // 256)
-    out = []
-    for l in range(nlights):
-        lp = jnp.broadcast_to(jnp.asarray(scn.lights[l, :3], jnp.float32),
-                              (n_seedpaths, 3))
-        intensity = np.float32(scn.lights[l, 3])
-        build = jnp.ones(n_seedpaths, bool)
-        v, length = _random_path(key, scn, quirks, lp,
-                                 np.uint32(_SITE_SEED + 4 * l), build)
+    if nlights == 0:
+        return jnp.zeros((0, 4), jnp.float32)
 
-        def round_body(r, carry):
-            v, length = carry
-            return _mutate(key, scn, quirks, verify_eps, lp, v, length,
-                           jnp.uint32(r) + jnp.uint32(l) * jnp.uint32(
-                               max(1, mutation_rounds)))
+    lp = jnp.repeat(jnp.asarray(scn.lights[:, :3], jnp.float32), B, axis=0)
+    intensity = jnp.repeat(jnp.asarray(scn.lights[:, 3], jnp.float32), B)
+    light_idx = jnp.repeat(jnp.arange(nlights, dtype=jnp.uint32), B)
+    chain = jnp.tile(jnp.arange(B, dtype=jnp.uint32), nlights)
 
-        v, length = jax.lax.fori_loop(0, mutation_rounds, round_body,
-                                      (v, length))
+    build = jnp.ones(nlights * B, bool)
+    v, length = _random_path(key, scn, quirks, lp,
+                             np.uint32(_SITE_SEED) + np.uint32(4) * light_idx,
+                             build, chain)
 
-        # emit <= 4 VLPs per chain, intensity halved per depth (ocl:522-527)
-        origin = lp
-        alive = length > 0
-        for i in range(4):
-            d = C.normalize(v[:, i, :] - origin)
-            vlp = vlpmod.vlp_from_light_sample(
-                origin, d, intensity / np.float32(1 << i), scale_den, scn,
-                quirks, base=vlpmod._MLT_BASE)
-            emit = alive & (i < length) & (vlp[:, 3] > 0)
-            vlp = jnp.where(emit[:, None], vlp, 0.0)
-            out.append(vlp)
-            alive = emit   # reference breaks when curr_vlp.w == 0 (ocl:525)
-            origin = jnp.where(emit[:, None], v[:, i, :], origin)
+    rounds = jnp.uint32(max(1, mutation_rounds))
+
+    def round_body(r, carry):
+        v, length = carry
+        return _mutate(key, scn, quirks, verify_eps, lp, v, length,
+                       jnp.uint32(r) + light_idx * rounds, chain)
+
+    v, length = jax.lax.fori_loop(0, mutation_rounds, round_body,
+                                  (v, length))
+
+    # emit <= 4 VLPs per chain, intensity halved per depth (ocl:522-527)
+    origin = lp
+    alive = length > 0
+    slots = []
+    for i in range(4):
+        d = C.normalize(v[:, i, :] - origin)
+        vlp = vlpmod.vlp_from_light_sample(
+            origin, d, intensity / np.float32(1 << i), scale_den, scn,
+            quirks, base=vlpmod._MLT_BASE)
+        emit = alive & (i < length) & (vlp[:, 3] > 0)
+        vlp = jnp.where(emit[:, None], vlp, 0.0)
+        slots.append(vlp)
+        alive = emit   # reference breaks when curr_vlp.w == 0 (ocl:525)
+        origin = jnp.where(emit[:, None], v[:, i, :], origin)
+    # original (per-light) ordering: light-major, slot-minor
+    out = [slots[i][l * B:(l + 1) * B]
+           for l in range(nlights) for i in range(4)]
     return jnp.concatenate(out, axis=0)
 
 
