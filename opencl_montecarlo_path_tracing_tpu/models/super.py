@@ -193,10 +193,11 @@ def film_super(key, scn: SceneArrays, width, height, spp, spp_offset,
     ``spp_offset``/``row_offset`` may be traced values - the sharded
     renderers pass axis_index-derived offsets (parallel/mesh.py).
 
-    On TPU the supported family (mirror-free scene, standard lighting, no
-    carry-t quirk) routes to the Pallas megakernel (ops/pallas_super.py,
-    ~1.4x the XLA pipeline; film equality pinned by test_megakernel.py).
-    Set PT_NO_MEGAKERNEL=1 to force the XLA path."""
+    On TPU the supported family (mirror-free scene, standard lighting;
+    every quirk mode incl. the _lmem carry-t aliasing) routes to the
+    Pallas megakernel (ops/pallas_super.py, ~1.7x the XLA pipeline; film
+    equality pinned by test_megakernel.py).  Set PT_NO_MEGAKERNEL=1 to
+    force the XLA path."""
     import os
     import jax as _jax
     from ..ops import pallas_super as _mega

@@ -271,15 +271,18 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
     return jax.lax.fori_loop(0, tri["n_blocks"], blk, carry)
 
 
-def _trace_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool):
+def _trace_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
+                  t0=None):
     """Closest-hit scan, semantics of ops/intersect.py::trace_ray with
     sphere_material=3.  Returns (t, m, nx, ny, nz) with sphere normals
     already normalised.  ``tri`` describes the triangle stage: mode
     "smem" (whole table resident, reference-scene sizes) or "blocked"
-    (Morton blocks DMA-streamed behind AABB skips, large meshes)."""
+    (Morton blocks DMA-streamed behind AABB skips, large meshes).
+    ``t0`` seeds the running distance (trace_ray's t_init - the lmem
+    binaries' caller-initialised max distance)."""
     one = np.float32(1.0)
     zero = np.float32(0.0)
-    t = jnp.full(ox.shape, _BIG, jnp.float32)
+    t = jnp.full(ox.shape, _BIG, jnp.float32) if t0 is None else t0
     m = jnp.zeros(ox.shape, jnp.int32)
     nx = jnp.zeros(ox.shape, jnp.float32)
     ny = jnp.zeros(ox.shape, jnp.float32)
@@ -467,7 +470,8 @@ def _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti):
 
 
 def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
-                 scn_const, neg_t: bool, nt: int, n_blocks: int = 0):
+                 scn_const, neg_t: bool, nt: int, n_blocks: int = 0,
+                 carry_t: bool = False):
     if n_blocks:
         aabb_ref, tbl_any, out_ref, scratch, sem = refs
         tri = {"mode": "blocked", "nt": nt, "aabb": aabb_ref,
@@ -527,8 +531,14 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
         y = oy + dy * t
         z = oz + dz * t
 
-        # direct lighting: jittered shadow ray per light (site 2 + i)
+        # direct lighting: jittered shadow ray per light (site 2 + i).
+        # carry_t (the _lmem binaries' `&t` aliasing, lmem ocl:178):
+        # sequential seeded closest-hit traces - each starts from the
+        # carried distance (the primary hit's t, then each executed
+        # trace's result) and a hit closer than the carry occludes
+        # (models/super.py::illum_direct carry branch).
         ti = jnp.zeros_like(t)
+        t_run = t
         for i, (lx, ly, lz, li) in enumerate(lights):
             site = np.uint32((C.SITE_LIGHT0 + i) * 8)
             u0, u1 = _threefry(k0, k1, ray_id, jnp.full_like(ray_id, site))
@@ -538,8 +548,14 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
             ldz = np.float32(lz) - z
             ldx, ldy, ldz = _normalize3(ldx, ldy, ldz)
             lamb = ldx * nx + ldy * ny + ldz * nz
-            occ = _occluded_kernel(tri, x, y, z, ldx, ldy, ldz,
-                                   scn_const, neg_t)
+            if carry_t:
+                ts, ms, _, _, _ = _trace_kernel(tri, x, y, z, ldx, ldy, ldz,
+                                                scn_const, neg_t, t0=t_run)
+                occ = ms
+                t_run = jnp.where(lamb < 0, t_run, ts)
+            else:
+                occ = _occluded_kernel(tri, x, y, z, ldx, ldy, ldz,
+                                       scn_const, neg_t)
             dqx = np.float32(lx) - x
             dqy = np.float32(ly) - y
             dqz = np.float32(lz) - z
@@ -658,13 +674,13 @@ _MAX_BLOCKED_TRIANGLES = 1 << 16
 
 def supported(scn, quirks: Quirks, illum_fn, tri_override,
               max_bounces: int) -> bool:
-    """The megakernel covers the mirror-free super family: default/reference
-    estimator quirks (not the _lmem carry-t aliasing), standard direct
-    lighting, brute-force primitives, sphere material 3 (no reachable
-    mirror branch - models/super.py:159), and meshes up to the reference's
-    MAX_TRIANGLES (65536; SMEM-resident <= 512, Morton-blocked above)."""
+    """The megakernel covers the mirror-free super family: all estimator
+    quirk modes (the _lmem carry-t aliasing runs as sequential seeded
+    traces), standard direct lighting, brute-force primitives, sphere
+    material 3 (no reachable mirror branch - models/super.py:159), and
+    meshes up to the reference's MAX_TRIANGLES (65536; SMEM-resident
+    <= 512, Morton-blocked above)."""
     return (illum_fn is None and tri_override is None
-            and not quirks.shadow_carry_t
             and scn.lights.shape[0] <= 8
             and scn.tri_v0.shape[0] <= _MAX_BLOCKED_TRIANGLES)
 
@@ -683,6 +699,7 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
     if rows is None:
         rows = height
     neg_t = bool(quirks.accept_negative_t) if quirks is not None else False
+    carry_t = bool(quirks.shadow_carry_t) if quirks is not None else False
     nt = int(scn.tri_v0.shape[0])
     blocked = nt > _MAX_SMEM_TRIANGLES
     if force_blocked is not None:
@@ -726,7 +743,7 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
 
     kernel = functools.partial(
         _mega_kernel, width=width, spp=spp, scn_const=_scene_const(scn),
-        neg_t=neg_t, nt=nt, n_blocks=n_blocks)
+        neg_t=neg_t, nt=nt, n_blocks=n_blocks, carry_t=carry_t)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -75,9 +75,37 @@ def test_megakernel_gate():
     scn = prep_scene(small_scene())
     assert M.supported(scn, DEFAULT, None, None, 5)
     assert M.supported(scn, REFERENCE, None, None, 5)
-    assert not M.supported(scn, REFERENCE_LMEM, None, None, 5)
+    assert M.supported(scn, REFERENCE_LMEM, None, None, 5)  # carry-t: covered
     assert not M.supported(scn, DEFAULT, lambda *a: None, None, 5)
     assert not M.supported(scn, DEFAULT, None, lambda *a: None, 5)
+
+
+def test_megakernel_carry_t_quirk():
+    """The _lmem binaries' `&t` shadow aliasing (lmem ocl:178): the
+    megakernel's sequential seeded traces must equal the XLA carry
+    branch (models/super.py::illum_direct).  The scene puts a sphere
+    wall BEYOND the primary-hit distance on the shadow path (floor at
+    t ~ 91 from the camera, occluders at 150 toward a z=300 light), so
+    the carried t actually changes occlusions - asserted against the
+    plain-quirks render."""
+    from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
+    scene = Scene(
+        sphere_centers=np.array([[20 + i, -75.0, 150.0] for i in range(10)],
+                                np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=np.zeros((0, 3, 3), np.float32),
+        lights=np.array([[25.0, -75.0, 300.0, 400.0]], np.float32))
+    scn = prep_scene(scene)
+    key = make_key(18)
+    kw = dict(row_offset=CONTENT_ROW, rows=12)
+    a = ref_film(key, scn, 40, CONTENT_ROW + 12, 2, quirks=REFERENCE_LMEM,
+                 **kw)
+    b = mega_film(key, scn, 40, CONTENT_ROW + 12, 2, quirks=REFERENCE_LMEM,
+                  **kw)
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    # the quirk changes occlusions here (occluders beyond the carry)
+    c = ref_film(key, scn, 40, CONTENT_ROW + 12, 2, quirks=REFERENCE, **kw)
+    assert np.abs(a - c).max() > 1e-4
 
 
 def test_megakernel_blocked_matches_smem():
