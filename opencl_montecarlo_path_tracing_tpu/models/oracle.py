@@ -128,7 +128,8 @@ def _sample(o, d, centers, rng, max_depth=64, light_draws=None):
 
 def render_oracle(width: int = 256, height: int = 256, spp: int = 64,
                   seed: int = 0, gpu_layout: bool = True,
-                  max_depth: int = 64, key=None) -> np.ndarray:
+                  max_depth: int = 64, key=None,
+                  row_offset: int = 0) -> np.ndarray:
     """Render; returns the pre-ambient float film (H, W, 3) (sum of
     samples * 3.5, matching simpleCPUtracer.cpp:174 minus the (13,13,13)
     base).
@@ -151,7 +152,7 @@ def render_oracle(width: int = 256, height: int = 256, spp: int = 64,
     yy, xx = np.meshgrid(np.arange(height, dtype=f32),
                          np.arange(width, dtype=f32), indexing="ij")
     xx = xx.reshape(-1)
-    yy = yy.reshape(-1)
+    yy = yy.reshape(-1) + np.float32(row_offset)
     n = xx.size
 
     pixel_index = (yy.astype(np.int64) * width

@@ -159,7 +159,8 @@ def _sample_bpt(o, d, scene: Scene, vlps, rng, quirks: Quirks,
 
 def render_oracle_bpt(scene: Scene, width=32, height=32, spp=64,
                       n_vlp=512, seed=0, quirks: Quirks = DEFAULT,
-                      max_bounces=5, key=None) -> np.ndarray:
+                      max_bounces=5, key=None,
+                      row_offset: int = 0) -> np.ndarray:
     """Pre-ambient float film (H, W, 3), GPU layout.
 
     ``key`` switches BOTH passes to the common threefry streams
@@ -167,12 +168,13 @@ def render_oracle_bpt(scene: Scene, width=32, height=32, spp=64,
     rng = np.random.default_rng(seed)
     vlps = emit_vlps_oracle(scene, n_vlp, rng, quirks, key=key)
     return render_with_vlps(scene, vlps, width, height, spp, key=key,
-                            quirks=quirks, max_bounces=max_bounces, rng=rng)
+                            quirks=quirks, max_bounces=max_bounces, rng=rng,
+                            row_offset=row_offset)
 
 
 def render_with_vlps(scene: Scene, vlps, width=32, height=32, spp=64,
                      key=None, quirks: Quirks = DEFAULT, max_bounces=5,
-                     rng=None) -> np.ndarray:
+                     rng=None, row_offset: int = 0) -> np.ndarray:
     """Camera pass over precomputed VLPs (shared with the Metropolis oracle,
     mirroring how film_metropolis reuses the bidirectional gather)."""
     f32 = np.float32
@@ -189,7 +191,7 @@ def render_with_vlps(scene: Scene, vlps, width=32, height=32, spp=64,
     yy, xx = np.meshgrid(np.arange(height, dtype=f32),
                          np.arange(width, dtype=f32), indexing="ij")
     xx = xx.reshape(-1)
-    yy = yy.reshape(-1)
+    yy = yy.reshape(-1) + np.float32(row_offset)
     n = xx.size
     pixel_index = (yy.astype(np.int64) * width
                    + xx.astype(np.int64)).astype(np.uint32)

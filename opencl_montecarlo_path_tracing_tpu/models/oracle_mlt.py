@@ -220,7 +220,8 @@ def mlt_vlps_oracle(scene: Scene, key, n_seedpaths: int,
 def render_oracle_mlt(scene: Scene, width=32, height=32, spp=4,
                       n_seedpaths=16, mutation_rounds=2, key=None,
                       quirks: Quirks = DEFAULT, max_bounces=5,
-                      verify_eps: float = 1e-3) -> np.ndarray:
+                      verify_eps: float = 1e-3,
+                      row_offset: int = 0) -> np.ndarray:
     """Pre-ambient float film (H, W, 3): oracle VLPs + the BPT oracle's
     gather pass (film_metropolis reuses the bidirectional gather,
     models/metropolis.py:241)."""
@@ -229,4 +230,4 @@ def render_oracle_mlt(scene: Scene, width=32, height=32, spp=4,
     vlps = mlt_vlps_oracle(scene, key, n_seedpaths, mutation_rounds, quirks,
                            verify_eps)
     return render_with_vlps(scene, vlps, width, height, spp, key, quirks,
-                            max_bounces)
+                            max_bounces, row_offset=row_offset)

@@ -189,13 +189,17 @@ def _sample(o, d, scene: Scene, rng, quirks: Quirks, max_bounces=5,
 def render_oracle_super(scene: Scene, width: int = 64, height: int = 64,
                         spp: int = 64, seed: int = 0,
                         quirks: Quirks = DEFAULT,
-                        max_bounces: int = 5, key=None) -> np.ndarray:
+                        max_bounces: int = 5, key=None,
+                        row_offset: int = 0) -> np.ndarray:
     """Pre-ambient float film (H, W, 3), GPU layout (z_sign=-1 basis,
     direct indexing).
 
     ``key`` (a core/rng.py ``make_key`` pair) switches to common random
     numbers: every draw comes from the same (key, pixel*spp+s, site)
-    threefry streams the JAX integrator consumes (models/super.py)."""
+    threefry streams the JAX integrator consumes (models/super.py).
+    ``row_offset`` renders a band of pixel rows starting there (global
+    pixel ids - matches the TPU renderers' band API; the camera frame is
+    fixed for 512x512, so small windows at the origin are all sky)."""
     f32 = np.float32
     rng = np.random.default_rng(seed)
 
@@ -209,7 +213,7 @@ def render_oracle_super(scene: Scene, width: int = 64, height: int = 64,
     yy, xx = np.meshgrid(np.arange(height, dtype=f32),
                          np.arange(width, dtype=f32), indexing="ij")
     xx = xx.reshape(-1)
-    yy = yy.reshape(-1)
+    yy = yy.reshape(-1) + np.float32(row_offset)
     n = xx.size
 
     pixel_index = (yy.astype(np.int64) * width

@@ -2,11 +2,13 @@
 
 One program renders a 2048-pixel tile for all spp: counter-based threefry
 draws, thin-lens camera rays, the full primitive scan (floor / squares /
-spheres / division-free Moller-Trumbore triangles), one uncapped shadow
-trace per light, 4-material shading and film accumulation - the film tile
-lives in VMEM registers across the whole spp loop and is written to HBM
-once.  Reference hot loop: CLSuperPathTracer/pathtracer.ocl:220-241 (the
-per-pixel megakernel this mirrors, wavefront-style).
+spheres / division-free Moller-Trumbore triangles), one shadow trace per
+light (uncapped by default; the _lmem carry-t quirk runs sequential
+seeded closest-hit traces), 4-material shading and film accumulation -
+the film tile lives in VMEM registers across the whole spp loop and is
+written to HBM once.  Reference hot loop:
+CLSuperPathTracer/pathtracer.ocl:220-241 (the per-pixel megakernel this
+mirrors, wavefront-style).
 
 Layout: rays are lane-major (_SUB x 128) vregs end to end - every per-ray
 quantity is a (16, 128) f32/uint32 array, so all arithmetic runs on the

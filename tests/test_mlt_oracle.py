@@ -70,14 +70,20 @@ def test_mlt_vlps_match_oracle_reference_scene():
 
 
 def test_mlt_film_matches_oracle_crn():
-    """End-to-end: chains + gather + camera under common random numbers."""
+    """End-to-end: chains + gather + camera under common random numbers,
+    on a floor band (rows 372+) so the render pass sees geometry.  The
+    gather term with guaranteed-live VLPs is additionally pinned by
+    tests/test_crn.py::test_bidirectional_gather_crn_live_vlps (the MLT
+    render pass shares that code)."""
     scene = underlight_scene()
     key = make_key(42)
     spp = 2
-    jx = np.asarray(render_metropolis(key, scene, 16, 16, spp=spp,
-                                      n_seedpaths=32, mutation_rounds=2))
-    orc = render_oracle_mlt(scene, 16, 16, spp=spp, n_seedpaths=32,
-                            mutation_rounds=2, key=key)
+    rows, r0 = 8, 372
+    jx = np.asarray(render_metropolis(key, scene, 24, r0 + rows, spp=spp,
+                                      n_seedpaths=32,
+                                      mutation_rounds=2))[r0:]
+    orc = render_oracle_mlt(scene, 24, rows, spp=spp, n_seedpaths=32,
+                            mutation_rounds=2, key=key, row_offset=r0)
     d = np.abs(jx - orc) / spp * 64.0 / 255.0
     assert float(d.max()) < 1e-5, float(d.max())
 

@@ -38,10 +38,12 @@ def test_matches_oracle():
     estimate the same image (identical math, independent RNGs): per-pixel
     means converge as spp grows."""
     key = make_key(123)
-    w = h = 48
+    w, rows, r0 = 64, 16, 192   # the sphere field (content, not sky)
     spp = 256
-    film_tpu = np.asarray(render_simple(key, w, h, spp=spp)) / spp
-    film_orc = render_oracle(w, h, spp=spp, seed=9) / spp
+    film_tpu = np.asarray(render_simple(key, w, r0 + rows,
+                                        spp=spp))[r0:] / spp
+    film_orc = render_oracle(w, rows, spp=spp, seed=9, row_offset=r0) / spp
+    assert float(np.asarray(film_orc).var()) > 1e-4
     # average per-sample radiance is O(3.5 * a few); Monte-Carlo noise at
     # 256 spp dominates any residual -> demand close agreement
     err = rmse(film_tpu, film_orc)

@@ -40,12 +40,19 @@ def test_smoke_small_scene():
 
 
 def test_matches_oracle_super():
+    """Independent-RNG statistical agreement on a content band (rows
+    372+, cols 256+ hold floor + diffuse geometry; a small window at the
+    origin is all sky and the comparison there pins only the camera -
+    round-2 finding)."""
     scene = small_scene()
     key = make_key(11)
-    w = h = 40
+    w, rows, r0 = 296, 12, 372
     spp = 128
-    tpu = np.asarray(render_super(key, scene, w, h, spp=spp)) / spp
-    orc = render_oracle_super(scene, w, h, spp=spp, seed=5) / spp
+    tpu = np.asarray(render_super(key, scene, w, r0 + rows,
+                                  spp=spp))[r0:] / spp
+    orc = render_oracle_super(scene, w, rows, spp=spp, seed=5,
+                              row_offset=r0) / spp
+    assert float(np.asarray(orc).var()) > 1e-4  # content, not sky
     err = rmse(tpu, orc)
     scale = max(1e-6, float(np.abs(orc).mean()))
     assert err / scale < 0.08, (err, scale)
