@@ -35,18 +35,27 @@ def mega_film(key, scn, w, h, spp, quirks=DEFAULT, **kw):
 
 
 def test_megakernel_matches_xla_default():
+    """Sky window (trace must produce no false hits) AND a floor band
+    at CONTENT_ROW (shadow + shading terms live - a small window at the
+    origin is all sky, round-2 finding)."""
     scn = prep_scene(small_scene())
     key = make_key(3)
     a = ref_film(key, scn, 40, 12, 2)
     b = mega_film(key, scn, 40, 12, 2)
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    kw = dict(row_offset=300, rows=8)
+    a = ref_film(key, scn, 40, 308, 2, **kw)
+    b = mega_film(key, scn, 40, 308, 2, **kw)
+    assert np.asarray(a).var() > 1e-5   # content (floor checker + shadows)
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
 def test_megakernel_matches_xla_reference_quirks():
     scn = prep_scene(small_scene())
     key = make_key(4)
-    a = ref_film(key, scn, 16, 16, 2, quirks=REFERENCE)
-    b = mega_film(key, scn, 16, 16, 2, quirks=REFERENCE)
+    kw = dict(row_offset=300, rows=8)
+    a = ref_film(key, scn, 16, 308, 2, quirks=REFERENCE, **kw)
+    b = mega_film(key, scn, 16, 308, 2, quirks=REFERENCE, **kw)
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
