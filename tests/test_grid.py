@@ -67,13 +67,65 @@ def test_cap_overflow_drops_extras():
     np.testing.assert_array_equal(np.asarray(dev.items[0]), np.arange(8))
 
 
+def test_dda_traversal_matches_brute_on_hits():
+    """Op-level: the DDA walk's closest hit must equal the brute triangle
+    scan on rays AIMED AT the mesh (the render-level test below covers
+    pipeline wiring, but its small window sees mostly sky - a traversal
+    bug would hide there; round-2 finding)."""
+    import functools
+    import jax.numpy as jnp
+    from opencl_montecarlo_path_tracing_tpu.core.quirks import DEFAULT
+    from opencl_montecarlo_path_tracing_tpu.ops.intersect import (
+        prep_scene, trace_ray)
+    from opencl_montecarlo_path_tracing_tpu.models.trianglegrid import (
+        _override)
+    scene = torus_scene()
+    scn = prep_scene(scene)
+    tris = np.asarray(scene.triangles, np.float64)
+    rng = np.random.RandomState(5)
+    n = 512
+    idx = rng.randint(0, tris.shape[0], n)
+    bary = rng.dirichlet((1.0, 1.0, 1.0), n)
+    pts = (tris[idx] * bary[:, :, None]).sum(axis=1)
+    o = np.broadcast_to(np.array([17, 16, 8], np.float64), (n, 3))
+    d = pts - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.concatenate([o, o]).astype(np.float32)
+    d = np.concatenate([d, -d]).astype(np.float32)   # + guaranteed misses
+    brute = trace_ray(jnp.asarray(o), jnp.asarray(d), scn, quirks=DEFAULT,
+                      sphere_material=3)
+    grid, _box = G.triangle_grid(scn, modifier=3.0, device=False)
+    grid = G.UniformGrid(items=jnp.asarray(grid.items),
+                         counts=jnp.asarray(grid.counts), res=grid.res,
+                         vmin=jnp.asarray(grid.vmin),
+                         cell_size=jnp.asarray(grid.cell_size))
+    dda = trace_ray(jnp.asarray(o), jnp.asarray(d), scn, quirks=DEFAULT,
+                    sphere_material=3,
+                    tri_override=functools.partial(_override, scn=scn,
+                                                   grid=grid,
+                                                   quirks=DEFAULT))
+    bm = np.asarray(brute.material)
+    assert (bm == 4).sum() > 300, (bm == 4).sum()   # rays really hit
+    np.testing.assert_array_equal(np.asarray(dda.material), bm)
+    np.testing.assert_allclose(np.asarray(dda.t), np.asarray(brute.t),
+                               rtol=0, atol=1e-4)
+    hit = bm == 4
+    np.testing.assert_allclose(np.asarray(dda.normal)[hit],
+                               np.asarray(brute.normal)[hit],
+                               rtol=0, atol=1e-5)
+
+
 def test_grid_render_matches_brute_force():
     """DDA-traversed render must equal the brute-force render bit-for-bit
-    (same RNG streams, same estimator; only the triangle scan differs)."""
+    (same RNG streams, same estimator; only the triangle scan differs).
+    Rendered over the band where the meshes are actually visible
+    (rows ~142-180, cols ~400-464 - a window at the origin is all sky)."""
     key = make_key(17)
     for scene in (torus_scene(), small_scene()):
-        brute = np.asarray(render_super(key, scene, 24, 24, spp=4))
-        gridded = np.asarray(render_trianglegrid(key, scene, 24, 24, spp=4))
+        brute = np.asarray(render_super(key, scene, 472, 180, spp=2))
+        gridded = np.asarray(render_trianglegrid(key, scene, 472, 180,
+                                                 spp=2))
+        assert (np.abs(brute[150:, 400:]).var() > 1e-6)
         np.testing.assert_allclose(gridded, brute, rtol=0, atol=1e-4)
 
 
