@@ -52,8 +52,8 @@ from ..core.quirks import Quirks
 from ..models import common as C
 from .pallas_super import (_BIG, _SUB, _TILE, _TRI_UNROLL, _U32, _threefry,
                            _unit, _normalize3, _trace_kernel,
-                           _occluded_kernel, _primary_rays_k, _shade_rgb,
-                           _scene_const)
+                           _occluded_kernel_multi, _primary_rays_k,
+                           _shade_rgb, _scene_const)
 
 _VLP_UNROLL = 8            # VLP rows per fori step
 _EPS12 = np.float32(1e-12)
@@ -228,7 +228,10 @@ def _vlp_mega_kernel(scalars_ref, gridp_ref, tbl_ref, vlp_ref, out_ref,
         ti = jnp.minimum(gsum, one)
 
         # soft-shadow correction: -1/nlights per occluded real light, shadow
-        # ray capped at the UN-jittered light distance (ocl:191-201)
+        # ray capped at the UN-jittered light distance (ocl:191-201); all
+        # lights' rays share one pass over the triangle table
+        ldirs = []
+        tls = []
         for i, (lx, ly, lz, li) in enumerate(lights):
             site = np.uint32((C.SITE_LIGHT0 + i) * 8)
             u0, u1 = _threefry(k0, k1, ray_id, jnp.full_like(ray_id, site))
@@ -236,13 +239,14 @@ def _vlp_mega_kernel(scalars_ref, gridp_ref, tbl_ref, vlp_ref, out_ref,
             ldx = np.float32(lx) + u1f - x
             ldy = np.float32(ly) + u2f - y
             ldz = np.float32(lz) - z
-            ldx, ldy, ldz = _normalize3(ldx, ldy, ldz)
+            ldirs.append(_normalize3(ldx, ldy, ldz))
             dqx = np.float32(lx) - x
             dqy = np.float32(ly) - y
             dqz = np.float32(lz) - z
-            tl = jnp.sqrt(dqx * dqx + dqy * dqy + dqz * dqz)
-            occ = _occluded_kernel(tri, x, y, z, ldx, ldy, ldz,
-                                   scn_const, neg_t, tl=tl)
+            tls.append(jnp.sqrt(dqx * dqx + dqy * dqy + dqz * dqz))
+        occs = _occluded_kernel_multi(tri, x, y, z, ldirs, scn_const,
+                                      neg_t, tls)
+        for occ in occs:
             ti = jnp.where(occ != 0, ti - inv_nl, ti)
         ti = ti * np.float32(0.25)
 
