@@ -29,7 +29,7 @@ import numpy as np
 # as kernels improve.  bench-mode "all" emits vs_floor per variant; a value
 # < 1.0 is a regression.
 FLOORS = {
-    "super": 200.0,          # north star 100; measured 272 r2 (megakernel + fused multi-light occlusion)
+    "super": 210.0,          # north star 100; measured 290 r2 (megakernel, fused occlusion + spp groups)
     "simple": 65.0,          # measured 87-141 r2 (simple megakernel)
     "nodof": 50.0,           # measured 70-124 r2 (megakernel route)
     "bidirectional": 130.0,  # measured 149-177 r2 (megakernel + compaction)

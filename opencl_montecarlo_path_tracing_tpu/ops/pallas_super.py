@@ -45,6 +45,9 @@ _SUB = 16                  # sublane rows per ray tile
 _TILE = _SUB * 128         # rays per grid step
 _TRI_UNROLL = 8            # triangle rows per fori step
 
+_SPP_GROUP = 4             # spp samples sharing each triangle-table pass
+                           # (measured 1024^2x1024: G=2 286, G=4 290,
+                           # G=8 263 Mpaths/s - vreg pressure wins at 8)
 _TRI_BLOCK = 128           # triangles per Morton block (one DMA chunk)
 _TW, _TH = 64, 32          # blocked-mode pixel tile (64 x 32 = _TILE rays):
                            # a compact footprint keeps the tile frustum
@@ -273,15 +276,10 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
     return jax.lax.fori_loop(0, tri["n_blocks"], blk, carry)
 
 
-def _trace_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
-                  t0=None):
-    """Closest-hit scan, semantics of ops/intersect.py::trace_ray with
-    sphere_material=3.  Returns (t, m, nx, ny, nz) with sphere normals
-    already normalised.  ``tri`` describes the triangle stage: mode
-    "smem" (whole table resident, reference-scene sizes) or "blocked"
-    (Morton blocks DMA-streamed behind AABB skips, large meshes).
-    ``t0`` seeds the running distance (trace_ray's t_init - the lmem
-    binaries' caller-initialised max distance)."""
+def _pre_tri_state(ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
+                   t0=None):
+    """Floor/squares/spheres closest-hit state before the triangle scan
+    (literal-constant tests, cheap); returns the running carry."""
     one = np.float32(1.0)
     zero = np.float32(0.0)
     t = jnp.full(ox.shape, _BIG, jnp.float32) if t0 is None else t0
@@ -330,7 +328,30 @@ def _trace_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
         ny = jnp.where(ok, py + dy * s, ny)
         nz = jnp.where(ok, pz + dz * s, nz)
         needs = jnp.where(ok, 1, needs)
+    return t, m, nx, ny, nz, needs
 
+
+def _post_tri_finalize(t, m, nx, ny, nz, needs):
+    one = np.float32(1.0)
+    inv_len = jnp.where(
+        needs != 0,
+        jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                  np.float32(1e-30))),
+        one)
+    return t, m, nx * inv_len, ny * inv_len, nz * inv_len
+
+
+def _trace_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
+                  t0=None):
+    """Closest-hit scan, semantics of ops/intersect.py::trace_ray with
+    sphere_material=3.  Returns (t, m, nx, ny, nz) with sphere normals
+    already normalised.  ``tri`` describes the triangle stage: mode
+    "smem" (whole table resident, reference-scene sizes) or "blocked"
+    (Morton blocks DMA-streamed behind AABB skips, large meshes).
+    ``t0`` seeds the running distance (trace_ray's t_init - the lmem
+    binaries' caller-initialised max distance)."""
+    t, m, nx, ny, nz, needs = _pre_tri_state(ox, oy, oz, dx, dy, dz,
+                                             scn_const, neg_t, t0)
     # triangles: division-free scan (running min carried as bn/bd)
     if tri["nt"]:
         if tri["mode"] == "smem":
@@ -359,28 +380,53 @@ def _trace_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
                                       None, carry, upd)
             bn, bd, _, m, nx, ny, nz, needs = carry
         t = bn / bd
-
-    inv_len = jnp.where(
-        needs != 0,
-        jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
-                                  np.float32(1e-30))),
-        one)
-    return t, m, nx * inv_len, ny * inv_len, nz * inv_len
+    return _post_tri_finalize(t, m, nx, ny, nz, needs)
 
 
-def _occluded_kernel_multi(tri, ox, oy, oz, dirs, scn_const, neg_t: bool,
-                           tls):
-    """Occlusion scans for SEVERAL rays from one origin (one per light),
-    sharing a single pass over the triangle table: each SMEM row is read
-    once and tested against every ray, halving (for 2 lights) the scalar
-    reads and loop overhead of the dominant stage.  Semantics per ray ==
-    _occluded_kernel.  SMEM mode only - the blocked scan's AABB test is
-    per-direction, so large meshes keep per-ray scans."""
-    tls = [(_BIG if tl is None else tl) for tl in tls]
-    occs = [None] * len(dirs)
+def _trace_rays_shared(tri, rays, scn_const, neg_t: bool):
+    """Closest-hit scans for SEVERAL independent ray bundles sharing one
+    pass over the SMEM triangle table (each row's 12 scalars read once,
+    tested against every bundle - e.g. two spp samples' primary rays).
+    Returns a list of (t, m, nx, ny, nz).  SMEM mode only; callers use
+    per-ray _trace_kernel for the blocked (large-mesh) stage."""
+    assert tri["nt"] == 0 or tri["mode"] == "smem"
+    states = [_pre_tri_state(ox, oy, oz, dx, dy, dz, scn_const, neg_t)
+              for (ox, oy, oz), (dx, dy, dz) in rays]
+    if tri["nt"]:
+        tbl_ref = tri["tbl"]
+        carries = tuple((t, jnp.ones_like(t), m, nx, ny, nz, needs)
+                        for t, m, nx, ny, nz, needs in states)
+
+        def tri_step(i, cs):
+            cs = list(cs)
+            for u in range(_TRI_UNROLL):
+                row = i * _TRI_UNROLL + u
+                r = [tbl_ref[row, j] for j in range(12)]
+                for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
+                    cs[k] = _tri_closest_row(r, ox, oy, oz, dx, dy, dz,
+                                             neg_t, cs[k])
+            return tuple(cs)
+
+        ntp = -(-tri["nt"] // _TRI_UNROLL)
+        carries = jax.lax.fori_loop(0, ntp, tri_step, carries)
+        states = [(bn / bd, m, nx, ny, nz, needs)
+                  for bn, bd, m, nx, ny, nz, needs in carries]
+    return [_post_tri_finalize(*s) for s in states]
+
+
+def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool):
+    """Occlusion scans for SEVERAL rays (different origins allowed - one
+    per (sample, light) pair), sharing a single pass over the triangle
+    table: each SMEM row is read once and tested against every ray,
+    dividing the scalar reads and loop overhead of the dominant stage by
+    the ray count.  ``rays`` is a list of (origin3, dir3, tl-or-None);
+    semantics per ray == _occluded_kernel.  SMEM mode only - the blocked
+    scan's AABB test is per-ray, so large meshes keep per-ray scans."""
+    rays = [(o3, d3, _BIG if tl is None else tl) for o3, d3, tl in rays]
+    occs = [None] * len(rays)
     one = np.float32(1.0)
     zero = np.float32(0.0)
-    for k, ((dx, dy, dz), tl) in enumerate(zip(dirs, tls)):
+    for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
         inv_dz = one / dz
         p = -oz * inv_dz
         occ = ((p > _EPS) & (p < tl)).astype(jnp.int32)
@@ -411,7 +457,7 @@ def _occluded_kernel_multi(tri, ox, oy, oz, dirs, scn_const, neg_t: bool,
             for u in range(_TRI_UNROLL):
                 row = i * _TRI_UNROLL + u
                 r = [tbl_ref[row, j] for j in range(9)]
-                for k, ((dx, dy, dz), tl) in enumerate(zip(dirs, tls)):
+                for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
                     occs[k] = _tri_occ_row(r, ox, oy, oz, dx, dy, dz,
                                            neg_t, tl, occs[k])
             return tuple(occs)
@@ -420,13 +466,22 @@ def _occluded_kernel_multi(tri, ox, oy, oz, dirs, scn_const, neg_t: bool,
         occs = list(jax.lax.fori_loop(0, ntp, tri_step, tuple(occs)))
     elif tri["nt"]:
         # blocked mode: per-ray AABB-skipped scans (directional slabs)
-        for k, ((dx, dy, dz), tl) in enumerate(zip(dirs, tls)):
-            def upd(r, c, dx=dx, dy=dy, dz=dz, tl=tl):
+        for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
+            def upd(r, c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, tl=tl):
                 return _tri_occ_row(r, ox, oy, oz, dx, dy, dz, neg_t, tl, c)
 
             occs[k] = _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t,
                                         tl, occs[k], upd)
     return occs
+
+
+def _occluded_kernel_multi(tri, ox, oy, oz, dirs, scn_const, neg_t: bool,
+                           tls):
+    """Shared-origin wrapper over _occluded_rays_shared (one shadow ray
+    per light from one shading point)."""
+    return _occluded_rays_shared(
+        tri, [((ox, oy, oz), d3, tl) for d3, tl in zip(dirs, tls)],
+        scn_const, neg_t)
 
 
 def _occluded_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const,
@@ -641,8 +696,81 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
         sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
         return fr + sr, fg + sg, fb + sb
 
+    def sample_pair_body(pair, acc):
+        """_SPP_GROUP spp samples per iteration: their primary scans
+        share one pass over the triangle table, and all (sample, light)
+        shadow rays share another - each SMEM row's scalars are read
+        once per group instead of once per (sample, stage).  Same
+        accumulation order as the single-sample loop (s0, s1, ...), so
+        the film is bit-identical."""
+        G = _SPP_GROUP
+        fr, fg, fb = acc
+        prim = []
+        ray_ids = []
+        for j in range(G):
+            s32 = (pair * G + j).astype(_U32) + spp_offset
+            ray_id = pixel_index * spp_total + s32
+            b0, b1 = _threefry(k0, k1, ray_id, jnp.zeros_like(ray_id))
+            b2, b3 = _threefry(k0, k1, ray_id, jnp.ones_like(ray_id))
+            r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
+            ox, oy, oz, dx, dy, dz = _primary_rays_k(ii, jj, r1, r2, r3, r4)
+            prim.append(((ox, oy, oz), (dx, dy, dz)))
+            ray_ids.append(ray_id)
+        traces = _trace_rays_shared(tri, prim, scn_const, neg_t)
+
+        hits = []
+        shadow = []
+        lambs = []
+        for j in range(G):
+            t, m, nx, ny, nz = traces[j]
+            (ox, oy, oz), (dx, dy, dz) = prim[j]
+            x = ox + dx * t
+            y = oy + dy * t
+            z = oz + dz * t
+            hits.append((t, m, nx, ny, nz, x, y, z, dx, dy, dz))
+            for i, (lx, ly, lz, li) in enumerate(lights):
+                site = np.uint32((C.SITE_LIGHT0 + i) * 8)
+                u0, u1 = _threefry(k0, k1, ray_ids[j],
+                                   jnp.full_like(ray_ids[j], site))
+                u1f, u2f = _unit(u0), _unit(u1)
+                ldx = np.float32(lx) + u1f - x
+                ldy = np.float32(ly) + u2f - y
+                ldz = np.float32(lz) - z
+                d3 = _normalize3(ldx, ldy, ldz)
+                shadow.append(((x, y, z), d3, None))
+                lambs.append(d3[0] * nx + d3[1] * ny + d3[2] * nz)
+        occs = _occluded_rays_shared(tri, shadow, scn_const, neg_t)
+
+        for j in range(G):
+            t, m, nx, ny, nz, x, y, z, dx, dy, dz = hits[j]
+            ti = jnp.zeros_like(t)
+            for i, (lx, ly, lz, li) in enumerate(lights):
+                idx = j * len(lights) + i
+                lamb = lambs[idx]
+                dqx = np.float32(lx) - x
+                dqy = np.float32(ly) - y
+                dqz = np.float32(lz) - z
+                dist2 = dqx * dqx + dqy * dqy + dqz * dqz
+                ti = ti + jnp.where(
+                    (lamb < 0) | (occs[idx] != 0), np.float32(0.0),
+                    lamb * jnp.minimum(np.float32(li) / dist2, one))
+            ti = jnp.minimum(ti, one) * np.float32(0.25)
+            sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
+            fr, fg, fb = fr + sr, fg + sg, fb + sb
+        return fr, fg, fb
+
     zero = jnp.zeros((_SUB, 128), jnp.float32)
-    fr, fg, fb = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    acc = (zero, zero, zero)
+    # paired iterations divide the SMEM row reads by the rays sharing
+    # each pass; carry_t stays sequential (its traces are dependent) and
+    # the blocked large-mesh stage scans per ray either way
+    if n_blocks == 0 and not carry_t and spp >= _SPP_GROUP:
+        acc = jax.lax.fori_loop(0, spp // _SPP_GROUP, sample_pair_body, acc)
+        for tail_s in range((spp // _SPP_GROUP) * _SPP_GROUP, spp):
+            acc = sample_body(jnp.int32(tail_s), acc)
+    else:
+        acc = jax.lax.fori_loop(0, spp, sample_body, acc)
+    fr, fg, fb = acc
     out_ref[pl.ds(0, _SUB), :] = fr * C.EXPOSURE
     out_ref[pl.ds(_SUB, _SUB), :] = fg * C.EXPOSURE
     out_ref[pl.ds(2 * _SUB, _SUB), :] = fb * C.EXPOSURE

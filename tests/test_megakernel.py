@@ -80,6 +80,19 @@ def test_megakernel_spp_window_and_rows():
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
+def test_megakernel_spp_group_and_tail():
+    """spp >= _SPP_GROUP runs the grouped loop (samples sharing each
+    triangle-table pass) plus a static tail for the remainder; the film
+    must equal the XLA pipeline for both (content band)."""
+    scn = prep_scene(small_scene())
+    key = make_key(19)
+    kw = dict(row_offset=300, rows=8)
+    for spp in (M._SPP_GROUP, M._SPP_GROUP + 1):
+        a = ref_film(key, scn, 24, 308, spp, **kw)
+        b = mega_film(key, scn, 24, 308, spp, **kw)
+        np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
 def test_megakernel_gate():
     scn = prep_scene(small_scene())
     assert M.supported(scn, DEFAULT, None, None, 5)
