@@ -51,11 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.quirks import Quirks
 from ..models import common as C
 from .pallas_super import (_BIG, _SUB, _TILE, _TRI_UNROLL, _U32, _threefry,
-                           _unit, _normalize3, _trace_kernel,
-                           _occluded_kernel_multi, _primary_rays_k,
+                           _unit, _normalize3, _trace_rays_shared,
+                           _occluded_rays_shared, _primary_rays_k,
                            _shade_rgb, _scene_const)
 
 _VLP_UNROLL = 8            # VLP rows per fori step
+_VLP_SPP_GROUP = 4         # spp samples sharing each table pass (see
+                           # pallas_super._SPP_GROUP; swept on chip)
 _EPS12 = np.float32(1e-12)
 
 # SMEM is ~32KB total on v5e (measured: a 30KB table compiles, 40KB does
@@ -66,90 +68,91 @@ _VLP_CHUNK = 512           # VLPs per DMA chunk (lane-tiling: multiple of 128)
 _VLP_CHUNK_GRID = 256      # grid mode: 11 live rows -> 16-row tile, same 16KB
 
 
-def _gather_rows(read, n_rows, x, y, z, nx, ny, nz, ndx, x2, acc,
-                 cell=None):
-    """Accumulate max(lamb, 0) * min(I/d^2, 1) over ``n_rows`` VLPs
-    (ocl:166-187; may be a traced scalar - the live count).  ``read(row)
-    -> (px, py, pz, I, |p|^2[, clo3, chi3])`` yields SMEM scalars
-    broadcast against the ray vregs.  Same expanded distance + 1e-12
-    clamp as the XLA scan (ops/vlp.py::gather_vlps), so the two paths
-    agree to float rounding.
+def _gather_pt(x, y, z, nx, ny, nz):
+    """Per-shading-point gather state: (x, y, z, nx, ny, nz, n.x, |x|^2)."""
+    return (x, y, z, nx, ny, nz, nx * x + ny * y + nz * z,
+            x * x + y * y + z * z)
 
-    ``cell`` (grid mode) is (cxf, cyf, czf, in_box): the row's extra 6
-    scalars are its clipped cell-index AABB and the pair contributes only
-    when the lane's shading-point cell falls inside it
-    (metropolispathtracer.ocl vlpgrid:326-349 membership)."""
-    def body(i, acc):
+
+def _gather_rows_multi(read, n_rows, pts, accs, cells):
+    """Accumulate max(lamb, 0) * min(I/d^2, 1) over ``n_rows`` VLPs
+    (ocl:166-187; may be a traced scalar - the live count) for SEVERAL
+    shading points at once - each row's SMEM scalars are read once and
+    applied to every point (spp-group sharing, as in pallas_super).
+    ``read(row) -> (px, py, pz, I, |p|^2[, clo3, chi3])``.  Same expanded
+    distance + 1e-12 clamp as the XLA scan (ops/vlp.py::gather_vlps), so
+    the paths agree to float rounding.
+
+    ``cells[k]`` (grid mode) is (cxf, cyf, czf, in_box): the row's extra
+    6 scalars are its clipped cell-index AABB and the pair contributes
+    only when the point's cell falls inside it (metropolispathtracer.ocl
+    vlpgrid:326-349 membership)."""
+    def body(i, accs):
+        accs = list(accs)
         for u in range(_VLP_UNROLL):
             r = read(i * _VLP_UNROLL + u)
             p0, p1, p2, vi, p2s = r[0], r[1], r[2], r[3], r[4]
-            lamb_num = (nx * p0 + ny * p1 + nz * p2) - ndx
-            dist2 = jnp.maximum(
-                p2s - np.float32(2.0) * (x * p0 + y * p1 + z * p2) + x2,
-                _EPS12)
-            rs = jax.lax.rsqrt(dist2)
-            # relu(lamb_num) * rs == max(lamb, 0); padded/zero-intensity rows
-            # drop out through min(I * rs^2, 1) == 0 (I >= 0 by construction,
-            # ops/vlp.py::vlp_from_light_sample)
-            contrib = (jnp.maximum(lamb_num, np.float32(0.0)) * rs
-                       * jnp.minimum(vi * (rs * rs), np.float32(1.0)))
-            if cell is not None:
-                cxf, cyf, czf, in_box = cell
-                member = (in_box
-                          & (r[5] <= cxf) & (cxf <= r[8])
-                          & (r[6] <= cyf) & (cyf <= r[9])
-                          & (r[7] <= czf) & (czf <= r[10]))
-                contrib = jnp.where(member, contrib, np.float32(0.0))
-            acc = acc + contrib
-        return acc
+            for k, (x, y, z, nx, ny, nz, ndx, x2) in enumerate(pts):
+                lamb_num = (nx * p0 + ny * p1 + nz * p2) - ndx
+                dist2 = jnp.maximum(
+                    p2s - np.float32(2.0) * (x * p0 + y * p1 + z * p2) + x2,
+                    _EPS12)
+                rs = jax.lax.rsqrt(dist2)
+                # relu(lamb_num) * rs == max(lamb, 0); padded/dead rows
+                # drop out through min(I * rs^2, 1) == 0 (I >= 0 by
+                # construction, ops/vlp.py::vlp_from_light_sample)
+                contrib = (jnp.maximum(lamb_num, np.float32(0.0)) * rs
+                           * jnp.minimum(vi * (rs * rs), np.float32(1.0)))
+                if cells[k] is not None:
+                    cxf, cyf, czf, in_box = cells[k]
+                    member = (in_box
+                              & (r[5] <= cxf) & (cxf <= r[8])
+                              & (r[6] <= cyf) & (cyf <= r[9])
+                              & (r[7] <= czf) & (czf <= r[10]))
+                    contrib = jnp.where(member, contrib, np.float32(0.0))
+                accs[k] = accs[k] + contrib
+        return tuple(accs)
 
-    return jax.lax.fori_loop(0, -(-n_rows // _VLP_UNROLL), body, acc)
+    return list(jax.lax.fori_loop(0, -(-n_rows // _VLP_UNROLL), body,
+                                  tuple(accs)))
 
 
-def _gather_vlps_k(vlp_ref, x, y, z, nx, ny, nz, n_live, cell=None):
+def _gather_vlps_multi(vlp_ref, pts, n_live, cells):
     """VLP gather, direct mode: the whole (nvp, 5|11) table
     (px, py, pz, I, |p|^2[, cell-range]) resides in SMEM; only the first
     ``n_live`` compacted rows are scanned (runtime bound)."""
-    ndx = nx * x + ny * y + nz * z
-    x2 = x * x + y * y + z * z
-    ncols = 5 if cell is None else 11
+    ncols = 5 if cells[0] is None else 11
     read = lambda r: tuple(vlp_ref[r, j] for j in range(ncols))  # noqa: E731
-    return _gather_rows(read, n_live, x, y, z, nx, ny, nz, ndx, x2,
-                        jnp.zeros(x.shape, jnp.float32), cell)
+    zeros = [jnp.zeros(p[0].shape, jnp.float32) for p in pts]
+    return _gather_rows_multi(read, n_live, pts, zeros, cells)
 
 
-def _gather_vlps_chunked_k(vlp_hbm, scratch, sem, x, y, z, nx, ny, nz,
-                           n_live, cell=None):
+def _gather_vlps_chunked_multi(vlp_hbm, scratch, sem, pts, n_live, cells):
     """VLP gather, streaming mode for tables beyond the SMEM budget: the
     (8|16, nvp) transposed table lives in HBM and is DMA'd into an SMEM
     scratch chunk by chunk (the transpose keeps every chunk's lane slice
     128-aligned, the Mosaic memref-slice requirement).  One chunk's
-    compute (~512 x 40 VPU ops) dwarfs its 16KB DMA, so no double
-    buffering is needed.  Only ceil(n_live / chunk) chunks run (runtime
-    bound); rows beyond n_live inside the last chunk have I == 0 and
-    contribute exactly +0.0."""
+    compute dwarfs its 16KB DMA, so no double buffering is needed.  Only
+    ceil(n_live / chunk) chunks run, and each chunk's row scan is bounded
+    by its live rows (at ~1% liveness a full-chunk scan would cost as
+    much as the whole primitive trace; rows beyond n_live are dead and
+    contribute exactly +0.0)."""
     from jax.experimental.pallas import tpu as pltpu
-    ndx = nx * x + ny * y + nz * z
-    x2 = x * x + y * y + z * z
-    ncols = 5 if cell is None else 11
-    chunk = _VLP_CHUNK if cell is None else _VLP_CHUNK_GRID
+    ncols = 5 if cells[0] is None else 11
+    chunk = _VLP_CHUNK if cells[0] is None else _VLP_CHUNK_GRID
     read = lambda r: tuple(scratch[j, r] for j in range(ncols))  # noqa: E731
 
-    def chunk_body(c, acc):
+    def chunk_body(c, accs):
         cp = pltpu.make_async_copy(
             vlp_hbm.at[:, pl.ds(c * chunk, chunk)], scratch, sem)
         cp.start()
         cp.wait()
-        # bound the row scan by the chunk's live rows, not the chunk size:
-        # at ~1% liveness a full-chunk scan costs as much as the whole
-        # primitive trace (the unroll rounds up; the ceil-div rows beyond
-        # n_live are dead and contribute +0.0)
         rows = jnp.minimum(np.int32(chunk), n_live - c * np.int32(chunk))
-        return _gather_rows(read, rows, x, y, z, nx, ny, nz, ndx, x2,
-                            acc, cell)
+        return tuple(_gather_rows_multi(read, rows, pts, list(accs), cells))
 
-    return jax.lax.fori_loop(0, -(-n_live // chunk), chunk_body,
-                             jnp.zeros(x.shape, jnp.float32))
+    zeros = tuple(jnp.zeros(p[0].shape, jnp.float32) for p in pts)
+    return list(jax.lax.fori_loop(0, -(-n_live // chunk), chunk_body,
+                                  zeros))
 
 
 def _vlp_mega_kernel(scalars_ref, gridp_ref, tbl_ref, vlp_ref, out_ref,
@@ -182,56 +185,28 @@ def _vlp_mega_kernel(scalars_ref, gridp_ref, tbl_ref, vlp_ref, out_ref,
     nlights = len(lights)
     inv_nl = np.float32(1.0 / nlights) if nlights else np.float32(0.0)
 
-    def sample_body(s, acc):
-        fr, fg, fb = acc
-        s32 = s.astype(_U32) + spp_offset
-        ray_id = pixel_index * spp_total + s32
+    tri = {"mode": "smem", "nt": nt, "tbl": tbl_ref}
 
-        b0, b1 = _threefry(k0, k1, ray_id, jnp.zeros_like(ray_id))
-        b2, b3 = _threefry(k0, k1, ray_id, jnp.ones_like(ray_id))
-        r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
-
-        ox, oy, oz, dx, dy, dz = _primary_rays_k(ii, jj, r1, r2, r3, r4)
-
-        tri = {"mode": "smem", "nt": nt, "tbl": tbl_ref}
-        t, m, nx, ny, nz = _trace_kernel(tri, ox, oy, oz, dx, dy, dz,
-                                         scn_const, neg_t)
-        x = ox + dx * t
-        y = oy + dy * t
-        z = oz + dz * t
-
+    def lane_cell(x, y, z):
         # grid mode: the lane's cell index (f32 - exact below 2^24) and
-        # in-box flag, once per sample (gather_vlps_grid's unclipped floor
-        # + per-axis bounds check, the intended math).  vmin/cell/res are
-        # runtime scalars: the staged CLI pipeline passes the grid across
-        # a jit boundary, so even res is traced there.
-        if grid_mode:
-            cxf = jnp.floor((x - gridp_ref[0, 0]) / gridp_ref[0, 3])
-            cyf = jnp.floor((y - gridp_ref[0, 1]) / gridp_ref[0, 4])
-            czf = jnp.floor((z - gridp_ref[0, 2]) / gridp_ref[0, 5])
-            in_box = ((cxf >= 0) & (cxf < gridp_ref[0, 6])
-                      & (cyf >= 0) & (cyf < gridp_ref[0, 7])
-                      & (czf >= 0) & (czf < gridp_ref[0, 8]))
-            cell = (cxf, cyf, czf, in_box)
-        else:
-            cell = None
+        # in-box flag (gather_vlps_grid's unclipped floor + per-axis
+        # bounds check, the intended math).  vmin/cell/res are runtime
+        # scalars: the staged CLI pipeline passes the grid across a jit
+        # boundary, so even res is traced there.
+        if not grid_mode:
+            return None
+        cxf = jnp.floor((x - gridp_ref[0, 0]) / gridp_ref[0, 3])
+        cyf = jnp.floor((y - gridp_ref[0, 1]) / gridp_ref[0, 4])
+        czf = jnp.floor((z - gridp_ref[0, 2]) / gridp_ref[0, 5])
+        in_box = ((cxf >= 0) & (cxf < gridp_ref[0, 6])
+                  & (cyf >= 0) & (cyf < gridp_ref[0, 7])
+                  & (czf >= 0) & (czf < gridp_ref[0, 8]))
+        return (cxf, cyf, czf, in_box)
 
-        # VLP gather, clamp to 1 (illum_vlp, bidirectionalpathtracer.ocl:
-        # 166-189).  Non-shading (sky) lanes never read ti in the epilogue.
-        if n_chunks:
-            gsum = _gather_vlps_chunked_k(vlp_ref, scratch[0], scratch[1],
-                                          x, y, z, nx, ny, nz, n_live,
-                                          cell)
-        else:
-            gsum = _gather_vlps_k(vlp_ref, x, y, z, nx, ny, nz, n_live,
-                                  cell)
-        ti = jnp.minimum(gsum, one)
-
-        # soft-shadow correction: -1/nlights per occluded real light, shadow
-        # ray capped at the UN-jittered light distance (ocl:191-201); all
-        # lights' rays share one pass over the triangle table
-        ldirs = []
-        tls = []
+    def shadow_geo(ray_id, x, y, z):
+        # jittered direction + UN-jittered distance cap per light
+        # (ocl:191-201)
+        ldirs, tls = [], []
         for i, (lx, ly, lz, li) in enumerate(lights):
             site = np.uint32((C.SITE_LIGHT0 + i) * 8)
             u0, u1 = _threefry(k0, k1, ray_id, jnp.full_like(ray_id, site))
@@ -244,17 +219,70 @@ def _vlp_mega_kernel(scalars_ref, gridp_ref, tbl_ref, vlp_ref, out_ref,
             dqy = np.float32(ly) - y
             dqz = np.float32(lz) - z
             tls.append(jnp.sqrt(dqx * dqx + dqy * dqy + dqz * dqz))
-        occs = _occluded_kernel_multi(tri, x, y, z, ldirs, scn_const,
-                                      neg_t, tls)
-        for occ in occs:
-            ti = jnp.where(occ != 0, ti - inv_nl, ti)
-        ti = ti * np.float32(0.25)
+        return ldirs, tls
 
-        sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
-        return fr + sr, fg + sg, fb + sb
+    def sample_group_body(g, acc, G):
+        """G spp samples per iteration: primary scans, the VLP gather and
+        all (sample, light) shadow rays each share one pass over their
+        SMEM tables (same recipe as pallas_super's _SPP_GROUP; same
+        accumulation order as the single loop -> bit-identical film)."""
+        fr, fg, fb = acc
+        prim, ray_ids = [], []
+        for j in range(G):
+            s32 = (g * G + j).astype(_U32) + spp_offset
+            ray_id = pixel_index * spp_total + s32
+            b0, b1 = _threefry(k0, k1, ray_id, jnp.zeros_like(ray_id))
+            b2, b3 = _threefry(k0, k1, ray_id, jnp.ones_like(ray_id))
+            r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
+            ox, oy, oz, dx, dy, dz = _primary_rays_k(ii, jj, r1, r2,
+                                                     r3, r4)
+            prim.append(((ox, oy, oz), (dx, dy, dz)))
+            ray_ids.append(ray_id)
+        traces = _trace_rays_shared(tri, prim, scn_const, neg_t)
+
+        hits, pts, cells, shadow = [], [], [], []
+        for j in range(G):
+            t, m, nx, ny, nz = traces[j]
+            (ox, oy, oz), (dx, dy, dz) = prim[j]
+            x = ox + dx * t
+            y = oy + dy * t
+            z = oz + dz * t
+            ldirs, tls = shadow_geo(ray_ids[j], x, y, z)
+            shadow += [((x, y, z), d3, tl) for d3, tl in zip(ldirs, tls)]
+            hits.append((m, x, y, dx, dy, dz, nx, ny, nz))
+            pts.append(_gather_pt(x, y, z, nx, ny, nz))
+            cells.append(lane_cell(x, y, z))
+
+        # VLP gather, clamp to 1 (illum_vlp, ocl:166-189); non-shading
+        # (sky) lanes never read ti in the epilogue
+        if n_chunks:
+            gsums = _gather_vlps_chunked_multi(vlp_ref, scratch[0],
+                                               scratch[1], pts, n_live,
+                                               cells)
+        else:
+            gsums = _gather_vlps_multi(vlp_ref, pts, n_live, cells)
+        occs = _occluded_rays_shared(tri, shadow, scn_const, neg_t)
+
+        for j in range(G):
+            m, x, y, dx, dy, dz, nx, ny, nz = hits[j]
+            ti = jnp.minimum(gsums[j], one)
+            for i in range(nlights):
+                occ = occs[j * nlights + i]
+                ti = jnp.where(occ != 0, ti - inv_nl, ti)
+            ti = ti * np.float32(0.25)
+            sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
+            fr, fg, fb = fr + sr, fg + sg, fb + sb
+        return fr, fg, fb
 
     zero = jnp.zeros((_SUB, 128), jnp.float32)
-    fr, fg, fb = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    acc = (zero, zero, zero)
+    G = _VLP_SPP_GROUP
+    if spp >= G:
+        acc = jax.lax.fori_loop(
+            0, spp // G, functools.partial(sample_group_body, G=G), acc)
+    for tail_s in range((spp // G) * G, spp):
+        acc = sample_group_body(jnp.int32(tail_s), acc, G=1)
+    fr, fg, fb = acc
     out_ref[pl.ds(0, _SUB), :] = fr * C.EXPOSURE
     out_ref[pl.ds(_SUB, _SUB), :] = fg * C.EXPOSURE
     out_ref[pl.ds(2 * _SUB, _SUB), :] = fb * C.EXPOSURE
