@@ -30,7 +30,7 @@ import numpy as np
 # < 1.0 is a regression.
 FLOORS = {
     "super": 210.0,          # north star 100; measured 290 r2 (megakernel, fused occlusion + spp groups)
-    "simple": 65.0,          # measured 87-141 r2 (simple megakernel)
+    "simple": 100.0,         # measured 141-172 r2 (megakernel + spp groups)
     "nodof": 50.0,           # measured 70-124 r2 (megakernel route)
     "bidirectional": 130.0,  # measured 149-177 r2 (megakernel + compaction)
     "metropolis": 90.0,      # measured 128 r2 (megakernel + live compaction)

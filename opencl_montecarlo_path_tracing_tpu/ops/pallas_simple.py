@@ -31,6 +31,9 @@ from .pallas_super import (_EPS, _BIG, _SUB, _TILE, _U32, _threefry, _unit,
                            _normalize3, _primary_rays_k)
 
 _SPH_UNROLL = 7   # 49 spheres = 7 x 7 rows per fori step
+_SPP_GROUP = 4    # spp samples sharing each sphere-table pass (the
+                  # pallas_super._SPP_GROUP recipe: rows read once per
+                  # group; bounce loops run in lockstep, masked per sample)
 
 
 def _pow99(x):
@@ -45,77 +48,91 @@ def _pow99(x):
     return x64 * x32 * x2 * x
 
 
-def _trace_floor_spheres(sph_ref, n_sph: int, ox, oy, oz, dx, dy, dz):
-    """Closest hit against floor (m=1) + mirror spheres (m=2), the simple
-    tracer's TraceRay (spt.ocl:42-75); sphere normals come back
-    normalised."""
+def _trace_floor_spheres_multi(sph_ref, n_sph: int, rays):
+    """Closest hit against floor (m=1) + mirror spheres (m=2) for SEVERAL
+    ray bundles sharing one pass over the sphere table - each row's 3
+    scalars are read once per group (the simple tracer's TraceRay,
+    spt.ocl:42-75); sphere normals come back normalised."""
     one = np.float32(1.0)
-    t = jnp.full(ox.shape, _BIG, jnp.float32)
-    m = jnp.zeros(ox.shape, jnp.int32)
-    nx = jnp.zeros(ox.shape, jnp.float32)
-    ny = jnp.zeros(ox.shape, jnp.float32)
-    nz = jnp.zeros(ox.shape, jnp.float32)
-
-    p = -oz * (one / dz)
-    hit = (p > _EPS) & (p < t)
-    t = jnp.where(hit, p, t)
-    m = jnp.where(hit, 1, m)
-    nz = jnp.where(hit, one, nz)
+    states = []
+    for (ox, oy, oz), (dx, dy, dz) in rays:
+        t = jnp.full(ox.shape, _BIG, jnp.float32)
+        m = jnp.zeros(ox.shape, jnp.int32)
+        nx = jnp.zeros(ox.shape, jnp.float32)
+        ny = jnp.zeros(ox.shape, jnp.float32)
+        nz = jnp.zeros(ox.shape, jnp.float32)
+        p = -oz * (one / dz)
+        hit = (p > _EPS) & (p < t)
+        t = jnp.where(hit, p, t)
+        m = jnp.where(hit, 1, m)
+        nz = jnp.where(hit, one, nz)
+        states.append((t, m, nx, ny, nz))
 
     def step(i, carry):
-        t, m, nx, ny, nz = carry
+        carry = list(carry)
         for u in range(_SPH_UNROLL):
             row = i * _SPH_UNROLL + u
             cx = sph_ref[row, 0]
             cy = sph_ref[row, 1]
             cz = sph_ref[row, 2]
-            px, py, pz = ox - cx, oy - cy, oz - cz
-            b = px * dx + py * dy + pz * dz
-            cc = px * px + py * py + pz * pz - one
-            q = b * b - cc
-            s = -b - jnp.sqrt(jnp.maximum(q, np.float32(0.0)))
-            ok = (q > np.float32(0.0)) & (s < t) & (s > _EPS)
-            t = jnp.where(ok, s, t)
-            m = jnp.where(ok, 2, m)
-            nx = jnp.where(ok, px + dx * s, nx)
-            ny = jnp.where(ok, py + dy * s, ny)
-            nz = jnp.where(ok, pz + dz * s, nz)
-        return t, m, nx, ny, nz
+            for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
+                t, m, nx, ny, nz = carry[k]
+                px, py, pz = ox - cx, oy - cy, oz - cz
+                b = px * dx + py * dy + pz * dz
+                cc = px * px + py * py + pz * pz - one
+                q = b * b - cc
+                s = -b - jnp.sqrt(jnp.maximum(q, np.float32(0.0)))
+                ok = (q > np.float32(0.0)) & (s < t) & (s > _EPS)
+                t = jnp.where(ok, s, t)
+                m = jnp.where(ok, 2, m)
+                nx = jnp.where(ok, px + dx * s, nx)
+                ny = jnp.where(ok, py + dy * s, ny)
+                nz = jnp.where(ok, pz + dz * s, nz)
+                carry[k] = (t, m, nx, ny, nz)
+        return tuple(carry)
 
     nr = -(-n_sph // _SPH_UNROLL)
-    t, m, nx, ny, nz = jax.lax.fori_loop(0, nr, step, (t, m, nx, ny, nz))
-    inv_len = jnp.where(
-        m == 2,
-        jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
-                                  np.float32(1e-30))),
-        one)
-    return t, m, nx * inv_len, ny * inv_len, nz * inv_len
+    states = jax.lax.fori_loop(0, nr, step, tuple(states))
+    out = []
+    for t, m, nx, ny, nz in states:
+        inv_len = jnp.where(
+            m == 2,
+            jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                      np.float32(1e-30))),
+            one)
+        out.append((t, m, nx * inv_len, ny * inv_len, nz * inv_len))
+    return out
 
 
-def _occluded_floor_spheres(sph_ref, n_sph: int, ox, oy, oz, dx, dy, dz):
-    """Uncapped any-hit against floor + spheres (the shadow test's full
-    TraceRay, spt.ocl:106)."""
+def _occluded_floor_spheres_multi(sph_ref, n_sph: int, rays):
+    """Uncapped any-hit against floor + spheres for several rays sharing
+    one table pass (the shadow test's full TraceRay, spt.ocl:106)."""
     one = np.float32(1.0)
-    p = -oz * (one / dz)
-    occ = ((p > _EPS) & (p < _BIG)).astype(jnp.int32)
+    occs = []
+    for (ox, oy, oz), (dx, dy, dz) in rays:
+        p = -oz * (one / dz)
+        occs.append(((p > _EPS) & (p < _BIG)).astype(jnp.int32))
 
-    def step(i, occ):
+    def step(i, occs):
+        occs = list(occs)
         for u in range(_SPH_UNROLL):
             row = i * _SPH_UNROLL + u
             cx = sph_ref[row, 0]
             cy = sph_ref[row, 1]
             cz = sph_ref[row, 2]
-            px, py, pz = ox - cx, oy - cy, oz - cz
-            b = px * dx + py * dy + pz * dz
-            cc = px * px + py * py + pz * pz - one
-            q = b * b - cc
-            s = -b - jnp.sqrt(jnp.maximum(q, np.float32(0.0)))
-            occ = jnp.where((q > np.float32(0.0)) & (s < _BIG) & (s > _EPS),
-                            1, occ)
-        return occ
+            for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
+                px, py, pz = ox - cx, oy - cy, oz - cz
+                b = px * dx + py * dy + pz * dz
+                cc = px * px + py * py + pz * pz - one
+                q = b * b - cc
+                s = -b - jnp.sqrt(jnp.maximum(q, np.float32(0.0)))
+                occs[k] = jnp.where(
+                    (q > np.float32(0.0)) & (s < _BIG) & (s > _EPS),
+                    1, occs[k])
+        return tuple(occs)
 
     nr = -(-n_sph // _SPH_UNROLL)
-    return jax.lax.fori_loop(0, nr, step, occ)
+    return list(jax.lax.fori_loop(0, nr, step, tuple(occs)))
 
 
 def _simple_mega_kernel(scalars_ref, sph_ref, out_ref, *, width: int,
@@ -141,123 +158,152 @@ def _simple_mega_kernel(scalars_ref, sph_ref, out_ref, *, width: int,
     one = np.float32(1.0)
     zero = np.float32(0.0)
 
-    def sample_body(s, acc):
+    def sample_group_body(g, acc, G):
+        """G spp samples per iteration, their bounce loops in lockstep:
+        every trace and shadow pass over the 49-sphere table is shared
+        (rows read once per group).  Accumulation order matches the
+        single-sample loop, so the film is bit-identical."""
         fr, fg, fb = acc
-        s32 = s.astype(_U32) + spp_offset
-        ray_id = pixel_index * spp_total + s32
-
-        b0, b1 = _threefry(k0, k1, ray_id, jnp.zeros_like(ray_id))
-        b2, b3 = _threefry(k0, k1, ray_id, jnp.ones_like(ray_id))
-        r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
-        ox, oy, oz, dx, dy, dz = _primary_rays_k(ii, jj, r1, r2, r3, r4)
-
-        alive = jnp.ones(ox.shape, jnp.int32)
-        cfr = jnp.zeros(ox.shape, jnp.float32)
-        cfg = jnp.zeros(ox.shape, jnp.float32)
-        cfb = jnp.zeros(ox.shape, jnp.float32)
-        div = jnp.ones(ox.shape, jnp.float32)
-        rr = jnp.zeros(ox.shape, jnp.float32)
-        rg = jnp.zeros(ox.shape, jnp.float32)
-        rb = jnp.zeros(ox.shape, jnp.float32)
+        ray_ids = []
+        states = []
+        for j in range(G):
+            s32 = (g * G + j).astype(_U32) + spp_offset
+            ray_id = pixel_index * spp_total + s32
+            b0, b1 = _threefry(k0, k1, ray_id, jnp.zeros_like(ray_id))
+            b2, b3 = _threefry(k0, k1, ray_id, jnp.ones_like(ray_id))
+            r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
+            ox, oy, oz, dx, dy, dz = _primary_rays_k(ii, jj, r1, r2,
+                                                     r3, r4)
+            ray_ids.append(ray_id)
+            zl = jnp.zeros(ox.shape, jnp.float32)
+            states.append((jnp.ones(ox.shape, jnp.int32), ox, oy, oz,
+                           dx, dy, dz, zl, zl, zl, jnp.ones_like(zl),
+                           zl, zl, zl))
 
         def bounce(b, carry):
-            (alive, ox, oy, oz, dx, dy, dz,
-             cfr, cfg, cfb, div, rr, rg, rb) = carry
-            t, m, nx, ny, nz = _trace_floor_spheres(sph_ref, n_sph,
-                                                    ox, oy, oz, dx, dy, dz)
-            m = jnp.where(alive != 0, m, -1)
-            inv_div = one / div
+            carry = list(carry)
+            prim = [((st[1], st[2], st[3]), (st[4], st[5], st[6]))
+                    for st in carry]
+            traces = _trace_floor_spheres_multi(sph_ref, n_sph, prim)
 
-            # miss -> sky (spt.ocl:92-95)
-            skyf = one - dz
-            sky2 = skyf * skyf
-            sky4 = sky2 * sky2
-            is_sky = m == 0
-            rr = jnp.where(is_sky, cfr + np.float32(C.SKY[0]) * sky4 * inv_div, rr)
-            rg = jnp.where(is_sky, cfg + np.float32(C.SKY[1]) * sky4 * inv_div, rg)
-            rb = jnp.where(is_sky, cfb + np.float32(C.SKY[2]) * sky4 * inv_div, rb)
+            shadow = []
+            mids = []
+            for j in range(G):
+                (alive, ox, oy, oz, dx, dy, dz,
+                 cfr, cfg, cfb, div, rr, rg, rb) = carry[j]
+                t, m, nx, ny, nz = traces[j]
+                m = jnp.where(alive != 0, m, -1)
+                x = ox + dx * t
+                y = oy + dy * t
+                z = oz + dz * t
+                # jittered implicit light (9 + r1, 9 + r2, 16)
+                # (spt.ocl:99); site = SITE_LIGHT0 + bounce * stride
+                site = (np.uint32(C.SITE_LIGHT0)
+                        + b.astype(_U32) * np.uint32(C.SITE_STRIDE_BOUNCE)
+                        ) * np.uint32(8)
+                u0, u1 = _threefry(k0, k1, ray_ids[j],
+                                   jnp.zeros_like(ray_ids[j]) + site)
+                u1f, u2f = _unit(u0), _unit(u1)
+                ldx = np.float32(9.0) + u1f - x
+                ldy = np.float32(9.0) + u2f - y
+                ldz = np.float32(16.0) - z
+                ldir = _normalize3(ldx, ldy, ldz)
+                shadow.append(((x, y, z), ldir))
+                mids.append((m, x, y, z, ldir))
+            occs = _occluded_floor_spheres_multi(sph_ref, n_sph, shadow)
 
-            x = ox + dx * t
-            y = oy + dy * t
-            z = oz + dz * t
+            for j in range(G):
+                (alive, ox, oy, oz, dx, dy, dz,
+                 cfr, cfg, cfb, div, rr, rg, rb) = carry[j]
+                t, m_raw, nx, ny, nz = traces[j]
+                m, x, y, z, (ldx, ldy, ldz) = mids[j]
+                inv_div = one / div
 
-            # jittered implicit light (9 + r1, 9 + r2, 16) (spt.ocl:99),
-            # site = SITE_LIGHT0 + bounce * SITE_STRIDE_BOUNCE
-            site = (np.uint32(C.SITE_LIGHT0)
-                    + b.astype(_U32) * np.uint32(C.SITE_STRIDE_BOUNCE)
-                    ) * np.uint32(8)
-            u0, u1 = _threefry(k0, k1, ray_id,
-                               jnp.zeros_like(ray_id) + site)
-            u1f, u2f = _unit(u0), _unit(u1)
-            ldx = np.float32(9.0) + u1f - x
-            ldy = np.float32(9.0) + u2f - y
-            ldz = np.float32(16.0) - z
-            ldx, ldy, ldz = _normalize3(ldx, ldy, ldz)
+                # miss -> sky (spt.ocl:92-95)
+                skyf = one - dz
+                sky2 = skyf * skyf
+                sky4 = sky2 * sky2
+                is_sky = m == 0
+                rr = jnp.where(is_sky,
+                               cfr + np.float32(C.SKY[0]) * sky4 * inv_div,
+                               rr)
+                rg = jnp.where(is_sky,
+                               cfg + np.float32(C.SKY[1]) * sky4 * inv_div,
+                               rg)
+                rb = jnp.where(is_sky,
+                               cfb + np.float32(C.SKY[2]) * sky4 * inv_div,
+                               rb)
 
-            # half = reflect(d, n) (spt.ocl:100)
-            ndd = nx * dx + ny * dy + nz * dz
-            hx = dx - np.float32(2.0) * ndd * nx
-            hy = dy - np.float32(2.0) * ndd * ny
-            hz = dz - np.float32(2.0) * ndd * nz
+                # half = reflect(d, n) (spt.ocl:100)
+                ndd = nx * dx + ny * dy + nz * dz
+                hx = dx - np.float32(2.0) * ndd * nx
+                hy = dy - np.float32(2.0) * ndd * ny
+                hz = dz - np.float32(2.0) * ndd * nz
 
-            lamb = ldx * nx + ldy * ny + ldz * nz
-            occ = _occluded_floor_spheres(sph_ref, n_sph, x, y, z,
-                                          ldx, ldy, ldz)
-            lamb = jnp.where((lamb < 0) | (occ != 0), zero, lamb)
-            spec = _pow99((ldx * hx + ldy * hy + ldz * hz)
-                          * jnp.where(lamb > 0, one, zero))
+                lamb = ldx * nx + ldy * ny + ldz * nz
+                lamb = jnp.where((lamb < 0) | (occs[j] != 0), zero, lamb)
+                spec = _pow99((ldx * hx + ldy * hy + ldz * hz)
+                              * jnp.where(lamb > 0, one, zero))
 
-            # floor -> checker * (lamb*0.2 + 0.1) (spt.ocl:112-115)
-            ipx = x * np.float32(0.2)
-            ipy = y * np.float32(0.2)
-            sel = (jnp.ceil(ipx) + jnp.ceil(ipy)).astype(jnp.int32) & 1
-            red = sel == 1
-            fmag = (lamb * np.float32(0.2) + np.float32(0.1)) * inv_div
-            is_fl = m == 1
+                # floor -> checker * (lamb*0.2 + 0.1) (spt.ocl:112-115)
+                ipx = x * np.float32(0.2)
+                ipy = y * np.float32(0.2)
+                sel = (jnp.ceil(ipx) + jnp.ceil(ipy)).astype(jnp.int32) & 1
+                red = sel == 1
+                fmag = (lamb * np.float32(0.2) + np.float32(0.1)) * inv_div
+                is_fl = m == 1
 
-            def fl_ch(cf, res, cr, cw):
-                col = jnp.where(red, np.float32(cr), np.float32(cw))
-                return jnp.where(is_fl, cf + col * fmag, res)
+                def fl_ch(cf, res, cr, cw):
+                    col = jnp.where(red, np.float32(cr), np.float32(cw))
+                    return jnp.where(is_fl, cf + col * fmag, res)
 
-            rr = fl_ch(cfr, rr, C.FLOOR_RED[0], C.FLOOR_WHITE[0])
-            rg = fl_ch(cfg, rg, C.FLOOR_RED[1], C.FLOOR_WHITE[1])
-            rb = fl_ch(cfb, rb, C.FLOOR_RED[2], C.FLOOR_WHITE[2])
+                rr = fl_ch(cfr, rr, C.FLOOR_RED[0], C.FLOOR_WHITE[0])
+                rg = fl_ch(cfg, rg, C.FLOOR_RED[1], C.FLOOR_WHITE[1])
+                rb = fl_ch(cfb, rb, C.FLOOR_RED[2], C.FLOOR_WHITE[2])
 
-            # mirror -> add highlight, bounce (spt.ocl:120-125); the
-            # reference multiplies the highlight by divFact (spt.ocl:121 -
-            # quirks.specular_divfact_multiply); intended math divides
-            bounce_m = m == 2
-            hl = spec * (div if spec_mul else inv_div)
-            cfr = jnp.where(bounce_m, cfr + hl, cfr)
-            cfg = jnp.where(bounce_m, cfg + hl, cfg)
-            cfb = jnp.where(bounce_m, cfb + hl, cfb)
-            ox = jnp.where(bounce_m, x, ox)
-            oy = jnp.where(bounce_m, y, oy)
-            oz = jnp.where(bounce_m, z, oz)
-            dx = jnp.where(bounce_m, hx, dx)
-            dy = jnp.where(bounce_m, hy, dy)
-            dz = jnp.where(bounce_m, hz, dz)
-            div = jnp.where(bounce_m, div * np.float32(2.0), div)
-            alive = jnp.where(bounce_m, alive, 0)
-            return (alive, ox, oy, oz, dx, dy, dz,
-                    cfr, cfg, cfb, div, rr, rg, rb)
+                # mirror -> add highlight, bounce (spt.ocl:120-125); the
+                # reference multiplies the highlight by divFact
+                # (spt.ocl:121 - quirks.specular_divfact_multiply);
+                # intended math divides
+                bounce_m = m == 2
+                hl = spec * (div if spec_mul else inv_div)
+                cfr = jnp.where(bounce_m, cfr + hl, cfr)
+                cfg = jnp.where(bounce_m, cfg + hl, cfg)
+                cfb = jnp.where(bounce_m, cfb + hl, cfb)
+                ox = jnp.where(bounce_m, x, ox)
+                oy = jnp.where(bounce_m, y, oy)
+                oz = jnp.where(bounce_m, z, oz)
+                dx = jnp.where(bounce_m, hx, dx)
+                dy = jnp.where(bounce_m, hy, dy)
+                dz = jnp.where(bounce_m, hz, dz)
+                div = jnp.where(bounce_m, div * np.float32(2.0), div)
+                alive = jnp.where(bounce_m, alive, 0)
+                carry[j] = (alive, ox, oy, oz, dx, dy, dz,
+                            cfr, cfg, cfb, div, rr, rg, rb)
+            return tuple(carry)
 
-        carry = (alive, ox, oy, oz, dx, dy, dz,
-                 cfr, cfg, cfb, div, rr, rg, rb)
-        carry = jax.lax.fori_loop(0, max_bounces, bounce, carry)
-        alive, cfr, cfg, cfb = carry[0], carry[7], carry[8], carry[9]
-        rr, rg, rb = carry[11], carry[12], carry[13]
-        # recursion-cap exhaustion -> accumulated highlights
-        # (models/simple.py:83-85)
-        live = alive != 0
-        fr = fr + jnp.where(live, cfr, rr)
-        fg = fg + jnp.where(live, cfg, rg)
-        fb = fb + jnp.where(live, cfb, rb)
+        states = jax.lax.fori_loop(0, max_bounces, bounce, tuple(states))
+        for j in range(G):
+            alive, cfr, cfg, cfb = (states[j][0], states[j][7],
+                                    states[j][8], states[j][9])
+            rr, rg, rb = states[j][11], states[j][12], states[j][13]
+            # recursion-cap exhaustion -> accumulated highlights
+            # (models/simple.py:83-85)
+            live = alive != 0
+            fr = fr + jnp.where(live, cfr, rr)
+            fg = fg + jnp.where(live, cfg, rg)
+            fb = fb + jnp.where(live, cfb, rb)
         return fr, fg, fb
 
     zero2 = jnp.zeros((_SUB, 128), jnp.float32)
-    fr, fg, fb = jax.lax.fori_loop(0, spp, sample_body,
-                                   (zero2, zero2, zero2))
+    acc = (zero2, zero2, zero2)
+    G = _SPP_GROUP
+    if spp >= G:
+        acc = jax.lax.fori_loop(
+            0, spp // G, functools.partial(sample_group_body, G=G), acc)
+    for tail_s in range((spp // G) * G, spp):
+        acc = sample_group_body(jnp.int32(tail_s), acc, G=1)
+    fr, fg, fb = acc
     out_ref[pl.ds(0, _SUB), :] = fr * C.EXPOSURE
     out_ref[pl.ds(_SUB, _SUB), :] = fg * C.EXPOSURE
     out_ref[pl.ds(2 * _SUB, _SUB), :] = fb * C.EXPOSURE
