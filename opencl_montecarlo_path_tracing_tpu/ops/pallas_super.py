@@ -484,55 +484,6 @@ def _occluded_kernel_multi(tri, ox, oy, oz, dirs, scn_const, neg_t: bool,
         scn_const, neg_t)
 
 
-def _occluded_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const,
-                     neg_t: bool, tl=None):
-    """Occlusion scan (ops/intersect.py::any_hit).  ``tl`` is the per-lane
-    hit-distance cap; None = the plain super tracer's uncapped ray (a hit
-    beyond the light still occludes, pathtracer.ocl:180) - the VLP
-    integrators pass the light distance (bidirectionalpathtracer.ocl:195)."""
-    one = np.float32(1.0)
-    zero = np.float32(0.0)
-    if tl is None:
-        tl = _BIG
-    inv_dz = one / dz
-    p = -oz * inv_dz
-    occ = ((p > _EPS) & (p < tl)).astype(jnp.int32)
-    for k, z in zip(scn_const["square_k"], scn_const["square_z"]):
-        rd = (np.float32(z) - oz) * inv_dz
-        ix = ox + dx * rd
-        iy = oy + dy * rd
-        ok = (rd < tl) & (jnp.abs(np.float32(k) - ix) < 1.0) & (jnp.abs(iy) < 1.0)
-        if not neg_t:
-            ok = ok & (rd > _EPS)
-        occ = jnp.where(ok, 1, occ)
-    for cx, cy, cz in scn_const["spheres"]:
-        px, py, pz = ox - np.float32(cx), oy - np.float32(cy), oz - np.float32(cz)
-        b = px * dx + py * dy + pz * dz
-        cc = px * px + py * py + pz * pz - one
-        q = b * b - cc
-        s = -b - jnp.sqrt(jnp.maximum(q, zero))
-        occ = jnp.where((q > zero) & (s < tl) & (s > _EPS), 1, occ)
-    if tri["nt"]:
-        def upd(r, c):
-            return _tri_occ_row(r, ox, oy, oz, dx, dy, dz, neg_t, tl, c)
-
-        if tri["mode"] == "smem":
-            tbl_ref = tri["tbl"]
-
-            def tri_step(i, occ):
-                for u in range(_TRI_UNROLL):
-                    row = i * _TRI_UNROLL + u
-                    occ = upd([tbl_ref[row, j] for j in range(9)], occ)
-                return occ
-
-            ntp = -(-tri["nt"] // _TRI_UNROLL)
-            occ = jax.lax.fori_loop(0, ntp, tri_step, occ)
-        else:
-            occ = _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t,
-                                    tl, occ, upd)
-    return occ
-
-
 def _primary_rays_k(ii, jj, r1, r2, r3, r4):
     """Thin-lens primary rays on (SUB, 128) vregs - the in-kernel twin of
     core/camera.py::primary_rays (pathtracer.ocl:232-237)."""
