@@ -212,6 +212,30 @@ def test_simple_megakernel_reference_quirks_and_window():
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
+def test_simple_megakernel_spp_group_and_tail():
+    """spp >= the group size runs the lockstep-grouped bounce loops plus
+    a tail; spp=1 pins the single-sample path on the sphere-field band
+    (tie-aware quantile - silhouette samples can flip between fused and
+    plain f32, see test_crn.py).  spp=5 is checked on a sky window,
+    which is tie-free and still exercises the group + tail control
+    flow."""
+    key = make_key(22)
+    scn = _prep(simple_scene())
+    a = np.asarray(render_simple(key, 48, 208, spp=1))[192:]
+    b = np.asarray(SM.film_simple_mega(key, scn, 48, 208, 1, quirks=DEFAULT,
+                                       row_offset=192, rows=16,
+                                       interpret=True))
+    assert np.asarray(a).var() > 1e-3   # sphere-field content
+    d = np.abs(a - b).max(axis=-1)
+    # interpret-vs-XLA silhouette ties flip isolated samples (~0.4% of
+    # pixels here); everything else is float rounding
+    assert float(np.quantile(d, 0.99)) < 1e-4, np.quantile(d, 0.99)
+    a = np.asarray(render_simple(key, 40, 12, spp=5))
+    b = np.asarray(SM.film_simple_mega(key, scn, 40, 12, 5, quirks=DEFAULT,
+                                       interpret=True))
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
 def test_nodof_megakernel_route():
     """The NoDoF image via the megakernel == the XLA sample-buffer +
     reduce pipeline to within 1 uint8 step (within-pixel float summation
