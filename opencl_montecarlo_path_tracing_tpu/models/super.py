@@ -195,7 +195,7 @@ def film_super(key, scn: SceneArrays, width, height, spp, spp_offset,
 
     On TPU the supported family (mirror-free scene, standard lighting;
     every quirk mode incl. the _lmem carry-t aliasing) routes to the
-    Pallas megakernel (ops/pallas_super.py, ~1.7x the XLA pipeline; film
+    Pallas megakernel (ops/pallas_super.py, ~2x the XLA pipeline; film
     equality pinned by test_megakernel.py).  Set PT_NO_MEGAKERNEL=1 to
     force the XLA path."""
     import os
