@@ -6,7 +6,8 @@ soft shadows, 5-material shading; scene from text files.  The _lmem variant
 (SURVEY.md section 2 #6) differs only in work-group caching, which has no TPU
 analogue (scene constants are VMEM-resident automatically), and in an
 accidental aliasing of the running hit distance into the shadow trace
-(CLSuperPathTracer_lmem/pathtracer.ocl:178), which is not reproduced.
+(CLSuperPathTracer_lmem/pathtracer.ocl:178), reproduced behind
+``quirks.shadow_carry_t`` (CLI ``superlmem --quirks reference``).
 
 Estimator details preserved (pathtracer.ocl:139-218):
  * per light: jittered direction, lambertian factor, hard shadow test with an
