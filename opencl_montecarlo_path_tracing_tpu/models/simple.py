@@ -85,20 +85,21 @@ def _sample(key, scn: SceneArrays, quirks: Quirks, max_bounces: int,
     return jnp.where(alive[..., None], color_fact, result)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
-                                             "spp_offset", "spp_total",
-                                             "quirks", "max_bounces"))
-def render_simple(key, width: int = 512, height: int = 512, spp: int = 64,
-                  spp_offset: int = 0, spp_total: int | None = None,
-                  quirks: Quirks = DEFAULT, max_bounces: int = C.MAX_BOUNCES):
-    """Render the business-card scene; returns the pre-ambient float film
-    (H, W, 3).  Finalize with utils.pam.film_to_rgba8.
+def film_simple(key, width, height, spp, spp_offset, spp_total,
+                quirks: Quirks = DEFAULT, max_bounces: int = C.MAX_BOUNCES):
+    """Unjitted film body (pre-ambient (H, W, 3) float32).
+
+    ``spp_offset`` may be a traced value - the sharded renderer passes an
+    axis_index-derived sample-window offset (parallel/mesh.py), exactly as
+    film_super does.
 
     On TPU this routes to the Pallas megakernel (ops/pallas_simple.py),
     which runs the full 5-bounce mirror recursion in one kernel
     (PT_NO_MEGAKERNEL=1 forces the XLA wavefront; film equality pinned by
     tests/test_megakernel.py)."""
     import os
+    if spp_total is None:
+        spp_total = spp
     scn = prep_scene(simple_scene())
     if (jax.default_backend() == "tpu"
             and not os.environ.get("PT_NO_MEGAKERNEL")):
@@ -108,3 +109,15 @@ def render_simple(key, width: int = 512, height: int = 512, spp: int = 64,
     sample_fn = functools.partial(_sample, key, scn, quirks, max_bounces)
     return C.accumulate_spp(sample_fn, width, height, spp,
                             spp_offset=spp_offset, spp_total=spp_total)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
+                                             "spp_offset", "spp_total",
+                                             "quirks", "max_bounces"))
+def render_simple(key, width: int = 512, height: int = 512, spp: int = 64,
+                  spp_offset: int = 0, spp_total: int | None = None,
+                  quirks: Quirks = DEFAULT, max_bounces: int = C.MAX_BOUNCES):
+    """Render the business-card scene; returns the pre-ambient float film
+    (H, W, 3).  Finalize with utils.pam.film_to_rgba8."""
+    return film_simple(key, width, height, spp, spp_offset, spp_total,
+                       quirks, max_bounces)

@@ -98,6 +98,30 @@ def render_super_sharded(key, scene: Scene | SceneArrays, width: int,
     return _cached(cfg, make)(key)
 
 
+def render_simple_sharded(key, width: int, height: int, spp: int,
+                          mesh: Mesh | None = None,
+                          quirks: Quirks = DEFAULT,
+                          max_bounces: int = MAX_BOUNCES):
+    """spp-sharded render of the multi-bounce mirror tracer
+    (CLSimplePathTracer, the only genuinely multi-bounce GPU variant -
+    CLSimplePathTracer/CLSimplePathTracer.c:85): each device renders its
+    sample window of the business-card scene (the 5-bounce megakernel
+    already takes spp windows) and films psum over ICI."""
+    from ..models.simple import film_simple
+    if mesh is None:
+        mesh = make_spp_mesh()
+    cfg = ("simple", width, height, spp, quirks, max_bounces,
+           _mesh_key(mesh))
+
+    def make():
+        def film_fn(k, local, offset, total):
+            return film_simple(k, width, height, local, offset, total,
+                               quirks, max_bounces)
+        return jax.jit(shard_spp(film_fn, mesh, spp))
+
+    return _cached(cfg, make)(key)
+
+
 def render_bidirectional_sharded(key, scene, width: int, height: int,
                                  spp: int, mesh: Mesh | None = None,
                                  n_vlp: int = 512,

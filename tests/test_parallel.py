@@ -86,6 +86,41 @@ def test_sharded_sample_parallel_matches_single():
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_sharded_simple_matches_single():
+    """spp-sharded multi-bounce mirror tracer == single-device render
+    (CLSimplePathTracer family; the scene is built in, no scene arg)."""
+    from opencl_montecarlo_path_tracing_tpu.models.simple import render_simple
+    from opencl_montecarlo_path_tracing_tpu.parallel.mesh import (
+        render_simple_sharded,
+    )
+    key = make_key(27)
+    single = np.asarray(render_simple(key, 8, 8, spp=8))
+    sharded = np.asarray(render_simple_sharded(key, 8, 8, 8,
+                                               make_spp_mesh(4)))
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)
+
+
+def test_sharded_metropolis_grid_mode_matches_single():
+    """The vlpgrid variant's grid-limited gather
+    (CLSuperMetropolisPathTracer_vlpgrid/metropolispathtracer.ocl:326-349)
+    under shard_map == single-device."""
+    from opencl_montecarlo_path_tracing_tpu.models.metropolis import (
+        render_metropolis,
+    )
+    from opencl_montecarlo_path_tracing_tpu.parallel.mesh import (
+        render_metropolis_sharded,
+    )
+    scene = small_scene()
+    key = make_key(28)
+    single = np.asarray(render_metropolis(key, scene, 8, 8, spp=4,
+                                          n_seedpaths=16, mutation_rounds=2,
+                                          use_grid=True))
+    sharded = np.asarray(render_metropolis_sharded(
+        key, scene, 8, 8, 4, make_spp_mesh(2), n_seedpaths=16,
+        mutation_rounds=2, use_grid=True))
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)
+
+
 def test_sharded_metropolis_matches_single():
     from opencl_montecarlo_path_tracing_tpu.models.metropolis import (
         render_metropolis,
