@@ -4,15 +4,19 @@ Renders the reference's full scene and reports camera-path throughput
 (Mpaths/s/chip).  North star (BASELINE.json): >= 100 Mpaths/s/chip at
 1024^2 on the super variant; vs_baseline is the ratio against that target.
 
-Default mode prints exactly ONE JSON line (the headline super config).
-BENCH_VARIANT selects another variant; BENCH_VARIANT=all runs every
-variant at its standard config (docs/BENCHMARKS.md rows) and prints one
-JSON line per variant, each with its regression floor ("floor",
-"vs_floor") so a perf regression in any integrator is machine-detectable.
+Default mode (and BENCH_VARIANT=all) runs EVERY variant at its standard
+config (docs/BENCHMARKS.md rows) plus the large-mesh and dense-live-VLP
+stress rows, printing one JSON line per row with its regression floor
+("floor", "vs_floor"); the headline super row is printed LAST so drivers
+that parse the final line keep seeing the headline.  The process exits
+nonzero if ANY row lands under its floor - a perf regression in any
+integrator is machine-detectable from the exit code alone.
 
-Env knobs: BENCH_SIZE (default 1024, or the variant's standard size in
-all-mode), BENCH_SPP (default 1024 for super - the north-star config),
-BENCH_REPEATS (default 3), BENCH_VARIANT (default "super").
+BENCH_VARIANT=<name> runs a single row (the headline config for "super",
+the standard config otherwise).
+
+Env knobs: BENCH_SIZE / BENCH_SPP (override the per-row config),
+BENCH_REPEATS (default 3), BENCH_VARIANT (default "all").
 """
 
 from __future__ import annotations
@@ -25,9 +29,9 @@ import time
 import numpy as np
 
 # Regression floors (Mpaths/s/chip) at each variant's standard config below:
-# round-1 measured numbers (docs/BENCHMARKS.md) with ~25% headroom, raised
-# as kernels improve.  bench-mode "all" emits vs_floor per variant; a value
-# < 1.0 is a regression.
+# measured numbers (docs/BENCHMARKS.md) with ~25-40% headroom for tunnel
+# timing variance, raised as kernels improve.  Every bench row emits
+# vs_floor; a value < 1.0 is a regression and fails the run.
 FLOORS = {
     "super": 180.0,          # north star 100; measured 238-290 r2 (megakernel,
                              # fused occlusion + spp groups; tunnel contention swings
@@ -39,17 +43,25 @@ FLOORS = {
     "metropolis_vlpgrid": 85.0,  # measured 122 r2 (masked scan + compaction)
     "trianglegrid": 10.0,    # measured 17.9 r2 (megakernel route; the
                              # forced-DDA path is 0.2, accel="dda")
+    # stress rows (round 3):
+    "super_largemesh": 2.0,  # 20736-tri torus at 512^2: the take-list
+                             # blocked scan; floor raised as it improves
+    "bidirectional_dense": 20.0,  # ~100%-live VLP table (compaction OFF
+                             # the table): the uncompacted-gather regime
 }
 
-# standard (size, spp) per variant in all-mode - the docs/BENCHMARKS.md rows
+# standard (size, spp) per row - the docs/BENCHMARKS.md rows.  Insertion
+# order is run order; "super" (the headline) must stay LAST.
 STD_CONFIG = {
-    "super": (1024, 1024),
     "simple": (1024, 256),
     "nodof": (512, 64),
     "bidirectional": (512, 256),
     "metropolis": (512, 256),
     "metropolis_vlpgrid": (512, 256),
     "trianglegrid": (256, 16),
+    "super_largemesh": (512, 4),
+    "bidirectional_dense": (512, 256),
+    "super": (1024, 1024),
 }
 
 
@@ -58,6 +70,12 @@ def make_render(variant: str, scene, size: int, spp: int):
     if variant == "super":
         from opencl_montecarlo_path_tracing_tpu.models.super import render_super
         return lambda k: render_super(k, scene, size, size, spp=spp)
+    if variant == "super_largemesh":
+        from opencl_montecarlo_path_tracing_tpu.models.super import render_super
+        from opencl_montecarlo_path_tracing_tpu.scene.builtin import (
+            large_mesh_scene)
+        big = large_mesh_scene()
+        return lambda k: render_super(k, big, size, size, spp=spp)
     if variant == "simple":
         from opencl_montecarlo_path_tracing_tpu.models.simple import render_simple
         return lambda k: render_simple(k, size, size, spp=spp)
@@ -75,6 +93,13 @@ def make_render(variant: str, scene, size: int, spp: int):
         from opencl_montecarlo_path_tracing_tpu.models.bidirectional import (
             render_bidirectional)
         return lambda k: render_bidirectional(k, scene, size, size, spp=spp)
+    if variant == "bidirectional_dense":
+        from opencl_montecarlo_path_tracing_tpu.models.bidirectional import (
+            render_bidirectional)
+        from opencl_montecarlo_path_tracing_tpu.scene.builtin import (
+            dense_vlp_scene)
+        dense = dense_vlp_scene()
+        return lambda k: render_bidirectional(k, dense, size, size, spp=spp)
     if variant in ("metropolis", "metropolis_vlpgrid"):
         from opencl_montecarlo_path_tracing_tpu.models.metropolis import (
             render_metropolis)
@@ -130,22 +155,31 @@ def bench_one(variant: str, scene, tag: str, size: int, spp: int,
 
 def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    variant = os.environ.get("BENCH_VARIANT", "super")
+    variant = os.environ.get("BENCH_VARIANT", "all")
 
     from opencl_montecarlo_path_tracing_tpu.scene.builtin import demo_scene
     scene, tag = demo_scene()
 
     if variant == "all":
+        worst = 1.0
         for v, (std_size, std_spp) in STD_CONFIG.items():
             size = int(os.environ.get("BENCH_SIZE", str(std_size)))
             spp = int(os.environ.get("BENCH_SPP", str(std_spp)))
-            print(json.dumps(bench_one(v, scene, tag, size, spp, repeats)),
-                  flush=True)
-        return
+            rec = bench_one(v, scene, tag, size, spp, repeats)
+            worst = min(worst, rec.get("vs_floor", 1.0))
+            print(json.dumps(rec), flush=True)
+        return 0 if worst >= 1.0 else 1
 
-    size = int(os.environ.get("BENCH_SIZE", "1024"))
-    spp = int(os.environ.get("BENCH_SPP", "1024"))  # north-star config
-    print(json.dumps(bench_one(variant, scene, tag, size, spp, repeats)))
+    if variant == "super":
+        size = int(os.environ.get("BENCH_SIZE", "1024"))
+        spp = int(os.environ.get("BENCH_SPP", "1024"))  # north-star config
+    else:
+        std_size, std_spp = STD_CONFIG.get(variant, (512, 64))
+        size = int(os.environ.get("BENCH_SIZE", str(std_size)))
+        spp = int(os.environ.get("BENCH_SPP", str(std_spp)))
+    rec = bench_one(variant, scene, tag, size, spp, repeats)
+    print(json.dumps(rec))
+    return 0 if rec.get("vs_floor", 1.0) >= 1.0 else 1
 
 
 if __name__ == "__main__":

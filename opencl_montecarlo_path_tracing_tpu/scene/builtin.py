@@ -49,6 +49,34 @@ def torus_mesh(center=(7.8, 5.0, 10.7), major=0.6, minor=0.25,
     return np.asarray(tris, np.float32)
 
 
+def large_mesh_scene(n_major: int = 144, n_minor: int = 72) -> Scene:
+    """The demo scene with its triangles replaced by a dense procedural
+    torus (default 2*144*72 = 20736 triangles): the standard large-mesh
+    acceleration benchmark (docs/PERF.md "Large meshes"; the reference's
+    trianglegrid variant exists for exactly this regime,
+    CLSuperPathTracer_trianglegrid/CLSuperPathTracer.c:15 MAX_TRIANGLES)."""
+    base, _ = demo_scene()
+    return Scene(
+        sphere_centers=base.sphere_centers,
+        square_kj=base.square_kj,
+        triangles=torus_mesh(n_major=n_major, n_minor=n_minor),
+        lights=base.lights,
+    )
+
+
+def dense_vlp_scene() -> Scene:
+    """A scene whose light pass emits DENSELY (light below the floor:
+    upward rays hit the floor from below with lamb = dz > 0, so nearly
+    every VLP row is live).  This is the live-VLP-compaction worst case -
+    the reference scene is ~1% live, this one is ~100% - used by the
+    bidirectional_dense bench row so compaction regressions are visible."""
+    return Scene(
+        sphere_centers=np.array([[2, 0, -5], [-2, 1, -5]], np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=np.zeros((0, 3, 3), np.float32),
+        lights=np.array([[0, 0, -5, 100], [3, 1, -4, 80]], np.float32))
+
+
 def procedural_super_scene() -> Scene:
     return Scene(
         sphere_centers=bitmap_to_spheres(_SUPER_SPHERE_BITS),

@@ -47,6 +47,39 @@ def test_bench_one_json_contract():
                       atol=5.1e-5)
 
 
+def test_default_mode_is_all_with_headline_last():
+    """The driver runs plain `python bench.py`: the default must exercise
+    EVERY row's floor (VERDICT round 2 weak #3) and keep the headline
+    super row as the LAST line for final-line parsers."""
+    assert list(bench.STD_CONFIG)[-1] == "super"
+    # the stress rows exist and are floored
+    assert "super_largemesh" in bench.STD_CONFIG
+    assert "bidirectional_dense" in bench.STD_CONFIG
+
+
+def test_all_mode_exit_code_guards_floors(monkeypatch, capsys):
+    """main() must return nonzero iff any row lands under its floor."""
+    recs = {}
+
+    def fake_bench_one(variant, scene, tag, size, spp, repeats):
+        rec = {"metric": f"{variant}_pathtracer_throughput",
+               "value": 1.0, "unit": "Mpaths/s/chip",
+               "vs_baseline": 0.01,
+               "floor": bench.FLOORS[variant],
+               "vs_floor": recs.get(variant, 2.0)}
+        return rec
+
+    monkeypatch.setattr(bench, "bench_one", fake_bench_one)
+    monkeypatch.setenv("BENCH_VARIANT", "all")
+    assert bench.main() == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == len(bench.STD_CONFIG)
+    assert json.loads(out[-1])["metric"] == "super_pathtracer_throughput"
+
+    recs["nodof"] = 0.5  # one regressed row anywhere -> nonzero exit
+    assert bench.main() == 1
+
+
 def test_recorded_bench_results_meet_floors():
     """The LATEST driver-recorded BENCH_r*.json must sit above its
     variant's regression floor - the machine check VERDICT round 1 asked
