@@ -220,60 +220,105 @@ def _slab(aabb6, ox, oy, oz, inv_dx, inv_dy, inv_dz):
 _PRUNE_SLACK = np.float32(1.0 + 1e-3)
 
 
+def _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl, carry):
+    """Vector-only per-block take flags with NO per-block cross-lane
+    reduction (each one costs ~3 us of vector->scalar latency on v5e -
+    docs/PERF.md round 3).  For every Morton block, slab-test its AABB
+    (SMEM scalar broadcasts) against the ray bundle, reduce any-lane only
+    over SUBLANES (a cheap in-register reduce) and stack the resulting
+    (1, 128) per-lane rows into a (128, 128) block x lane matrix; ONE
+    cross-lane reduction per 128-block group then yields the (128, 1)
+    flag column, which moves to SMEM with one async copy.  Total: ~25 VPU
+    ops per block plus two syncs per trace."""
+    aabb_ref = tri["aabb"]
+    mat = tri["flag_mat"]
+    flags_v = tri["flags_v"]
+    flags_s = tri["flags_s"]
+    fsem = tri["fsem"]
+    nb = tri["n_blocks"]
+    one = np.float32(1.0)
+    inv_dx, inv_dy, inv_dz = one / dx, one / dy, one / dz
+    for g in range(0, nb, 128):
+        gn = min(128, nb - g)
+        if gn < 128:
+            mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
+        for l in range(gn):
+            b = g + l
+            a6 = [aabb_ref[b, j] for j in range(6)]
+            tmin, tmax = _slab(a6, ox, oy, oz, inv_dx, inv_dy, inv_dz)
+            hit = tmax >= tmin
+            if not neg_t:
+                hit = hit & (tmax >= _EPS)
+                if occ_tl is None:
+                    bn, bd = carry[0], carry[1]
+                    hit = hit & (jnp.maximum(tmin, 0.0) * bd
+                                 <= bn * _PRUNE_SLACK)
+                else:
+                    hit = hit & (tmin <= occ_tl * _PRUNE_SLACK)
+            if occ_tl is not None:
+                hit = hit & (carry == 0)
+            mat[pl.ds(l, 1), :] = jnp.max(hit.astype(jnp.int32), axis=0,
+                                          keepdims=True)
+        flags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1, keepdims=True)
+    cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
+    cp.start()
+    cp.wait()
+
+
+def _take_list(tri):
+    """Branch-free SMEM take-list build from the flag rows: every block
+    id is written at the current count and the count advances only on
+    taken blocks, so dead writes are overwritten by the next taken id
+    (positions >= cnt are never read).  Returns the int32 count."""
+    flags_s = tri["flags_s"]
+    list_s = tri["list"]
+
+    def build(b, cnt):
+        list_s[0, cnt] = b
+        return cnt + flags_s[b, 0]
+
+    return jax.lax.fori_loop(0, tri["n_blocks"], build, jnp.int32(0))
+
+
 def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
                       carry, row_update):
-    """Morton-blocked triangle scan: per 128-triangle block, a slab test
-    against the block AABB (SMEM scalars) decides - via an any-lane
-    reduction - whether to DMA the block from HBM and run the row scan.
-    A broadcast AABB test costs ~20 VPU ops where the rows cost ~6k, so
-    skipped blocks are ~free; conservative tests (padded AABBs, slack on
-    the running-t prune) mean skipping never changes the result.  This is
-    the TPU-native replacement for the reference's uniform-grid DDA
+    """Morton-blocked triangle scan, take-list form: a vector-only flag
+    prepass (_block_flags) decides which 128-triangle blocks the bundle
+    can touch, a scalar loop compacts them into an SMEM take-list, and a
+    dynamic-trip fori DMAs + row-scans EXACTLY the taken blocks - the
+    hot loop has no slab tests, no cross-lane reductions and no conds.
+    Conservative tests (padded AABBs, slack on the t prune) mean culling
+    never changes the result.  This is the TPU-native replacement for
+    the reference's uniform-grid DDA
     (trianglegrid/pathtracer.ocl:157-198): per-lane cell walks gather at
     ~1 lane/cycle, while block constants broadcast to all 1024 lanes
     (docs/PERF.md "Large meshes")."""
-    aabb_ref = tri["aabb"]
     tbl_any = tri["tbl"]
     scratch = tri["scratch"]
     sem = tri["sem"]
-    one = np.float32(1.0)
-    inv_dx, inv_dy, inv_dz = one / dx, one / dy, one / dz
+    list_s = tri["list"]
 
-    def blk(b, carry):
-        a6 = [aabb_ref[b, j] for j in range(6)]
-        tmin, tmax = _slab(a6, ox, oy, oz, inv_dx, inv_dy, inv_dz)
-        hit = tmax >= tmin
-        if not neg_t:
-            hit = hit & (tmax >= _EPS)
-            if occ_tl is None:
-                bn, bd = carry[0], carry[1]
-                hit = hit & (jnp.maximum(tmin, 0.0) * bd
-                             <= bn * _PRUNE_SLACK)
-            else:
-                hit = hit & (tmin <= occ_tl * _PRUNE_SLACK)
-        if occ_tl is not None:
-            hit = hit & (carry == 0)
+    _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t, occ_tl, carry)
+    cnt = _take_list(tri)
 
-        def do(carry):
-            cp = pltpu.make_async_copy(
-                tbl_any.at[:, pl.ds(b * _TRI_BLOCK, _TRI_BLOCK)],
-                scratch, sem)
-            cp.start()
-            cp.wait()
+    def scan(i, carry):
+        b = list_s[0, i]
+        cp = pltpu.make_async_copy(
+            tbl_any.at[:, pl.ds(b * _TRI_BLOCK, _TRI_BLOCK)],
+            scratch, sem)
+        cp.start()
+        cp.wait()
 
-            def rows(i, c):
-                for u in range(_TRI_UNROLL):
-                    rr = i * _TRI_UNROLL + u
-                    r = [scratch[j, rr] for j in range(13)]
-                    c = row_update(r, c)
-                return c
+        def rows(i, c):
+            for u in range(_TRI_UNROLL):
+                rr = i * _TRI_UNROLL + u
+                r = [scratch[j, rr] for j in range(13)]
+                c = row_update(r, c)
+            return c
 
-            return jax.lax.fori_loop(0, _TRI_BLOCK // _TRI_UNROLL, rows,
-                                     carry)
+        return jax.lax.fori_loop(0, _TRI_BLOCK // _TRI_UNROLL, rows, carry)
 
-        return jax.lax.cond(jnp.any(hit), do, lambda c: c, carry)
-
-    return jax.lax.fori_loop(0, tri["n_blocks"], blk, carry)
+    return jax.lax.fori_loop(0, cnt, scan, carry)
 
 
 def _pre_tri_state(ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
@@ -542,10 +587,13 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                  scn_const, neg_t: bool, nt: int, n_blocks: int = 0,
                  carry_t: bool = False):
     if n_blocks:
-        aabb_ref, tbl_any, out_ref, scratch, sem = refs
+        aabb_ref, tbl_any, out_ref, scratch, sem, flag_mat, flags_v, \
+            flags_s, list_s, fsem = refs
         tri = {"mode": "blocked", "nt": nt, "aabb": aabb_ref,
                "tbl": tbl_any, "scratch": scratch, "sem": sem,
-               "n_blocks": n_blocks}
+               "n_blocks": n_blocks, "flag_mat": flag_mat,
+               "flags_v": flags_v, "flags_s": flags_s, "list": list_s,
+               "fsem": fsem}
     else:
         tbl_ref, out_ref = refs
         tri = {"mode": "smem", "nt": nt, "tbl": tbl_ref}
@@ -876,7 +924,13 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
+        nb_pad = -(-n_blocks // 128) * 128
         scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
+                          pltpu.SemaphoreType.DMA,
+                          pltpu.VMEM((128, 128), jnp.int32),
+                          pltpu.VMEM((nb_pad, 1), jnp.int32),
+                          pltpu.SMEM((nb_pad, 1), jnp.int32),
+                          pltpu.SMEM((1, n_blocks + 1), jnp.int32),
                           pltpu.SemaphoreType.DMA]
         ntp = tblT.shape[1]
     else:
