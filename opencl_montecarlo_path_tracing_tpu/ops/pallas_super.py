@@ -59,6 +59,23 @@ _U32 = jnp.uint32
 _ROTS = ((13, 15, 26, 6), (17, 29, 16, 24))
 _PARITY = np.uint32(0x1BD11BDA)
 
+# A Mosaic scf.for iteration costs ~1.1 us on v5e REGARDLESS of body size
+# (tools/diag_loops.py: 1 vector add per iteration times the same as 64) -
+# so short static-trip hot loops must run as straight-line code.  Loops of
+# up to this many steps are Python-unrolled; beyond it the loop overhead
+# amortizes over a big body instead.
+_UNROLL_STEPS_MAX = 16
+
+
+def _static_fori(n_steps: int, body, carry):
+    """fori_loop that fully unrolls small static trip counts (same
+    iteration order, so results are bit-identical)."""
+    if n_steps <= _UNROLL_STEPS_MAX:
+        for i in range(n_steps):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, n_steps, body, carry)
+
 
 def _threefry(k0, k1, x0, x1):
     """20-round Threefry-2x32 on (SUB, 128) uint32 vectors (bit-identical
@@ -272,12 +289,11 @@ def _take_list(tri):
     (positions >= cnt are never read).  Returns the int32 count."""
     flags_s = tri["flags_s"]
     list_s = tri["list"]
-
-    def build(b, cnt):
-        list_s[0, cnt] = b
-        return cnt + flags_s[b, 0]
-
-    return jax.lax.fori_loop(0, tri["n_blocks"], build, jnp.int32(0))
+    cnt = jnp.int32(0)
+    for b in range(tri["n_blocks"]):   # straight-line scalar code: a fori
+        list_s[0, cnt] = b             # here costs 1.1 us x n_blocks
+        cnt = cnt + flags_s[b, 0]
+    return cnt
 
 
 def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
@@ -316,7 +332,7 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
                 c = row_update(r, c)
             return c
 
-        return jax.lax.fori_loop(0, _TRI_BLOCK // _TRI_UNROLL, rows, carry)
+        return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, carry)
 
     return jax.lax.fori_loop(0, cnt, scan, carry)
 
@@ -411,7 +427,7 @@ def _trace_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
                 return c
 
             ntp = -(-tri["nt"] // _TRI_UNROLL)
-            carry = jax.lax.fori_loop(0, ntp, tri_step, carry)
+            carry = _static_fori(ntp, tri_step, carry)
             bn, bd, m, nx, ny, nz, needs = carry
         else:
             carry = (t, jnp.ones_like(t), jnp.full_like(t, -1.0),
@@ -453,20 +469,105 @@ def _trace_rays_shared(tri, rays, scn_const, neg_t: bool):
             return tuple(cs)
 
         ntp = -(-tri["nt"] // _TRI_UNROLL)
-        carries = jax.lax.fori_loop(0, ntp, tri_step, carries)
+        carries = _static_fori(ntp, tri_step, carries)
         states = [(bn / bd, m, nx, ny, nz, needs)
                   for bn, bd, m, nx, ny, nz, needs in carries]
     return [_post_tri_finalize(*s) for s in states]
 
 
-def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool):
+def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
+    """Shared blocked occlusion scan: ONE flag prepass computes the UNION
+    take-list over all (sample, light) shadow bundles - each block's six
+    AABB scalars are read once and slab-tested against every ray - and
+    ONE scan walks the union list, sharing each block's DMA and 9 scalar
+    row reads across all rays (VERDICT round 2 task 7).
+
+    ``relevants[k]`` masks lanes whose occlusion cannot change the image
+    out of the prepass: sky and facing-ratio hits ignore the illumination
+    term entirely, and back-facing lights (lamb < 0) zero it regardless
+    of occlusion.  This matters enormously: a sky lane's shadow origin is
+    x = o + d * 1e9, and the line from there toward a light crosses MANY
+    block AABBs - unmasked, sky tiles scan most of the mesh for shadow
+    rays whose result is discarded (measured 110 of 179 ms/frame on the
+    20k-torus at 256^2, docs/PERF.md round 3)."""
+    aabb_ref = tri["aabb"]
+    mat = tri["flag_mat"]
+    flags_v = tri["flags_v"]
+    flags_s = tri["flags_s"]
+    fsem = tri["fsem"]
+    tbl_any = tri["tbl"]
+    scratch = tri["scratch"]
+    sem = tri["sem"]
+    list_s = tri["list"]
+    nb = tri["n_blocks"]
+    one = np.float32(1.0)
+    invs = [(one / dx, one / dy, one / dz) for _, (dx, dy, dz), _tl in rays]
+    gates = []
+    for k in range(len(rays)):
+        g = occs[k] == 0
+        if relevants[k] is not None:
+            g = g & relevants[k]
+        gates.append(g)
+    for g in range(0, nb, 128):
+        gn = min(128, nb - g)
+        if gn < 128:
+            mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
+        for l in range(gn):
+            b = g + l
+            a6 = [aabb_ref[b, j] for j in range(6)]
+            acc = None
+            for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
+                tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
+                hit = tmax >= tmin
+                if not neg_t:
+                    hit = hit & (tmax >= _EPS) & (tmin <= tl * _PRUNE_SLACK)
+                hit = hit & gates[k]
+                acc = hit if acc is None else (acc | hit)
+            mat[pl.ds(l, 1), :] = jnp.max(acc.astype(jnp.int32), axis=0,
+                                          keepdims=True)
+        flags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1, keepdims=True)
+    cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
+    cp.start()
+    cp.wait()
+    cnt = _take_list(tri)
+
+    def scan(i, occs):
+        occs = list(occs)
+        b = list_s[0, i]
+        cp = pltpu.make_async_copy(
+            tbl_any.at[:, pl.ds(b * _TRI_BLOCK, _TRI_BLOCK)],
+            scratch, sem)
+        cp.start()
+        cp.wait()
+
+        def rows(j, occs):
+            occs = list(occs)
+            for u in range(_TRI_UNROLL):
+                rr = j * _TRI_UNROLL + u
+                r = [scratch[jj, rr] for jj in range(9)]
+                for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
+                    occs[k] = _tri_occ_row(r, ox, oy, oz, dx, dy, dz,
+                                           neg_t, tl, occs[k])
+            return tuple(occs)
+
+        return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, tuple(occs))
+
+    return list(jax.lax.fori_loop(0, cnt, scan, tuple(occs)))
+
+
+def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool,
+                          relevants=None):
     """Occlusion scans for SEVERAL rays (different origins allowed - one
     per (sample, light) pair), sharing a single pass over the triangle
     table: each SMEM row is read once and tested against every ray,
     dividing the scalar reads and loop overhead of the dominant stage by
     the ray count.  ``rays`` is a list of (origin3, dir3, tl-or-None);
-    semantics per ray == _occluded_kernel.  SMEM mode only - the blocked
-    scan's AABB test is per-ray, so large meshes keep per-ray scans."""
+    semantics per ray == _occluded_kernel.  In blocked (large-mesh) mode
+    the rays share one union take-list scan (_occ_blocked_multi), with
+    ``relevants`` masking image-irrelevant lanes out of the block cull
+    (their occ value may then be stale-0, which shading ignores)."""
+    if relevants is None:
+        relevants = [None] * len(rays)
     rays = [(o3, d3, _BIG if tl is None else tl) for o3, d3, tl in rays]
     occs = [None] * len(rays)
     one = np.float32(1.0)
@@ -508,25 +609,20 @@ def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool):
             return tuple(occs)
 
         ntp = -(-tri["nt"] // _TRI_UNROLL)
-        occs = list(jax.lax.fori_loop(0, ntp, tri_step, tuple(occs)))
+        occs = list(_static_fori(ntp, tri_step, tuple(occs)))
     elif tri["nt"]:
-        # blocked mode: per-ray AABB-skipped scans (directional slabs)
-        for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
-            def upd(r, c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, tl=tl):
-                return _tri_occ_row(r, ox, oy, oz, dx, dy, dz, neg_t, tl, c)
-
-            occs[k] = _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t,
-                                        tl, occs[k], upd)
+        # blocked mode: union take-list shared across all rays
+        occs = _occ_blocked_multi(tri, rays, neg_t, occs, relevants)
     return occs
 
 
 def _occluded_kernel_multi(tri, ox, oy, oz, dirs, scn_const, neg_t: bool,
-                           tls):
+                           tls, relevants=None):
     """Shared-origin wrapper over _occluded_rays_shared (one shadow ray
     per light from one shading point)."""
     return _occluded_rays_shared(
         tri, [((ox, oy, oz), d3, tl) for d3, tl in zip(dirs, tls)],
-        scn_const, neg_t)
+        scn_const, neg_t, relevants=relevants)
 
 
 def _primary_rays_k(ii, jj, r1, r2, r3, r4):
@@ -677,9 +773,15 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                 t_run = jnp.where(lamb < 0, t_run, ts)
         else:
             # one shared pass over the triangle table for ALL lights'
-            # shadow rays (each SMEM row read once)
+            # shadow rays (each SMEM row read once).  Only floor/diffuse
+            # hits with a front-facing light consume the occlusion result
+            # (_shade_rgb: sky and facing-ratio ignore ti; lamb < 0 zeroes
+            # the contribution) - the mask feeds the blocked-mode cull.
+            base_rel = (m == 1) | (m == 3)
+            rel = [base_rel & (lamb >= 0) for lamb in lambs]
             occs = _occluded_kernel_multi(tri, x, y, z, ldirs, scn_const,
-                                          neg_t, [None] * len(ldirs))
+                                          neg_t, [None] * len(ldirs),
+                                          relevants=rel)
         for (lx, ly, lz, li), lamb, occ in zip(lights, lambs, occs):
             dqx = np.float32(lx) - x
             dqy = np.float32(ly) - y

@@ -56,9 +56,22 @@ def main():
     # ns per flat iteration for varying body sizes
     for adds in (1, 4, 16, 64):
         timed(make(adds, 25600, False), x, 25600, f"flat fori adds={adds:3d}")
-    # unrolled
-    for u in (4, 16):
-        timed(make(1, 25600, u), x, 25600, f"flat fori adds=1 unroll={u}")
+    # fully unrolled inner chunks: outer fori over iters//chunk, chunk
+    # unrolled in Python - the planned kernel structure
+    def make_chunked(chunk, outer):
+        def kernel(x_ref, o_ref):
+            def body(i, a):
+                for _ in range(chunk):
+                    a = a * np.float32(0.999) + np.float32(1e-6)
+                return a
+            acc = jax.lax.fori_loop(0, outer, body,
+                                    jnp.zeros((8, 128), jnp.float32))
+            o_ref[...] = acc + x_ref[...]
+        return lambda x: pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(x)
+    for chunk in (32, 128):
+        timed(make_chunked(chunk, 25600 // chunk), x, 25600,
+              f"chunk-unroll {chunk} (same 25600 flat ops)")
     # nested (outer 200 x inner 128) like the block loop
     timed(make(1, 200, False, nest_inner=128), x, 25600,
           "nested 200x128 adds=1")
