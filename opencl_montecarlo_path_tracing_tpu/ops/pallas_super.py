@@ -59,18 +59,20 @@ _U32 = jnp.uint32
 _ROTS = ((13, 15, 26, 6), (17, 29, 16, 24))
 _PARITY = np.uint32(0x1BD11BDA)
 
-# A Mosaic scf.for iteration costs ~1.1 us on v5e REGARDLESS of body size
-# (tools/diag_loops.py: 1 vector add per iteration times the same as 64) -
-# so short static-trip hot loops must run as straight-line code.  Loops of
-# up to this many steps are Python-unrolled; beyond it the loop overhead
-# amortizes over a big body instead.
+# Short static-trip hot loops run as straight-line code on hardware
+# (headline 290 -> 298 Mpaths/s); loops of up to this many steps are
+# Python-unrolled.  Interpret mode (CPU tests) keeps real fori_loops
+# instead - the unrolled trace is ~16x bigger and XLA-CPU compiles each
+# repetition, which made the interpret megakernel tests minutes-slow.
+# The two forms run the identical body in the identical order.
 _UNROLL_STEPS_MAX = 16
+_UNROLL = True   # toggled off by film_super_mega(interpret=True)
 
 
 def _static_fori(n_steps: int, body, carry):
     """fori_loop that fully unrolls small static trip counts (same
     iteration order, so results are bit-identical)."""
-    if n_steps <= _UNROLL_STEPS_MAX:
+    if _UNROLL and n_steps <= _UNROLL_STEPS_MAX:
         for i in range(n_steps):
             carry = body(i, carry)
         return carry
@@ -335,6 +337,85 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
         return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, carry)
 
     return jax.lax.fori_loop(0, cnt, scan, carry)
+
+
+def _closest_blocked_multi(tri, rays, neg_t: bool, carries):
+    """Shared blocked CLOSEST-HIT scan for several independent primary
+    bundles (one per spp-group sample): ONE flag prepass computes the
+    union take-list - each block's six AABB scalars are read once and
+    slab+prune-tested against every bundle (per-bundle running bn/bd) -
+    and ONE scan walks the union, sharing each block's DMA and 13 scalar
+    row reads across all bundles.  Scanning a block one bundle did not
+    need only re-tests rows against its strictly-closer running minimum -
+    the result is identical (same closest-hit math, superset of rows).
+    ``carries`` are blocked-mode carries (bn, bd, bi, m, nx, ny, nz,
+    needs); returns them updated."""
+    aabb_ref = tri["aabb"]
+    mat = tri["flag_mat"]
+    flags_v = tri["flags_v"]
+    flags_s = tri["flags_s"]
+    fsem = tri["fsem"]
+    tbl_any = tri["tbl"]
+    scratch = tri["scratch"]
+    sem = tri["sem"]
+    list_s = tri["list"]
+    nb = tri["n_blocks"]
+    one = np.float32(1.0)
+    invs = [(one / dx, one / dy, one / dz) for _, (dx, dy, dz) in rays]
+    for g in range(0, nb, 128):
+        gn = min(128, nb - g)
+        if gn < 128:
+            mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
+        for l in range(gn):
+            b = g + l
+            a6 = [aabb_ref[b, j] for j in range(6)]
+            acc = None
+            for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
+                tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
+                hit = tmax >= tmin
+                if not neg_t:
+                    bn, bd = carries[k][0], carries[k][1]
+                    hit = hit & (tmax >= _EPS)
+                    hit = hit & (jnp.maximum(tmin, 0.0) * bd
+                                 <= bn * _PRUNE_SLACK)
+                acc = hit if acc is None else (acc | hit)
+            mat[pl.ds(l, 1), :] = jnp.max(acc.astype(jnp.int32), axis=0,
+                                          keepdims=True)
+        flags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1, keepdims=True)
+    cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
+    cp.start()
+    cp.wait()
+    cnt = _take_list(tri)
+    flat = []
+    for c in carries:
+        flat.extend(c)
+    nvar = len(carries[0])
+
+    def scan(i, flat):
+        flat = list(flat)
+        b = list_s[0, i]
+        cp = pltpu.make_async_copy(
+            tbl_any.at[:, pl.ds(b * _TRI_BLOCK, _TRI_BLOCK)],
+            scratch, sem)
+        cp.start()
+        cp.wait()
+
+        def rows(j, flat):
+            flat = list(flat)
+            for u in range(_TRI_UNROLL):
+                rr = j * _TRI_UNROLL + u
+                r = [scratch[jj, rr] for jj in range(13)]
+                for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
+                    c = tuple(flat[k * nvar:(k + 1) * nvar])
+                    c = _tri_closest_row_blocked(r, ox, oy, oz, dx, dy, dz,
+                                                 neg_t, c)
+                    flat[k * nvar:(k + 1) * nvar] = list(c)
+            return tuple(flat)
+
+        return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, tuple(flat))
+
+    flat = list(jax.lax.fori_loop(0, cnt, scan, tuple(flat)))
+    return [tuple(flat[k * nvar:(k + 1) * nvar]) for k in range(len(rays))]
 
 
 def _pre_tri_state(ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
@@ -860,13 +941,90 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
             fr, fg, fb = fr + sr, fg + sg, fb + sb
         return fr, fg, fb
 
+    def sample_group_blocked(pair, acc):
+        """Blocked-mode spp group: G samples share ONE union take-list
+        (and its prepass AABB reads, build, and per-block DMAs) for the
+        primary closest-hit stage, and all G x nlights shadow rays share
+        another via _occ_blocked_multi.  Accumulation order matches the
+        single-sample loop (s0, s1, ...), so the film is bit-identical;
+        scanning a union block a sample did not need only re-tests rows
+        against its strictly-closer running minimum."""
+        G = _SPP_GROUP
+        fr, fg, fb = acc
+        prim = []
+        ray_ids = []
+        carries = []
+        for j in range(G):
+            s32 = (pair * G + j).astype(_U32) + spp_offset
+            ray_id = pixel_index * spp_total + s32
+            b0, b1 = _threefry(k0, k1, ray_id, jnp.zeros_like(ray_id))
+            b2, b3 = _threefry(k0, k1, ray_id, jnp.ones_like(ray_id))
+            r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
+            ox, oy, oz, dx, dy, dz = _primary_rays_k(ii, jj, r1, r2, r3, r4)
+            prim.append(((ox, oy, oz), (dx, dy, dz)))
+            ray_ids.append(ray_id)
+            t, m, nx, ny, nz, needs = _pre_tri_state(
+                ox, oy, oz, dx, dy, dz, scn_const, neg_t)
+            carries.append((t, jnp.ones_like(t), jnp.full_like(t, -1.0),
+                            m, nx, ny, nz, needs))
+        carries = _closest_blocked_multi(tri, prim, neg_t, carries)
+        traces = []
+        for bn, bd, _, m, nx, ny, nz, needs in carries:
+            traces.append(_post_tri_finalize(bn / bd, m, nx, ny, nz, needs))
+
+        hits = []
+        shadow = []
+        lambs = []
+        rels = []
+        for j in range(G):
+            t, m, nx, ny, nz = traces[j]
+            (ox, oy, oz), (dx, dy, dz) = prim[j]
+            x = ox + dx * t
+            y = oy + dy * t
+            z = oz + dz * t
+            hits.append((t, m, nx, ny, nz, x, y, z, dx, dy, dz))
+            base_rel = (m == 1) | (m == 3)
+            for i, (lx, ly, lz, li) in enumerate(lights):
+                site = np.uint32((C.SITE_LIGHT0 + i) * 8)
+                u0, u1 = _threefry(k0, k1, ray_ids[j],
+                                   jnp.full_like(ray_ids[j], site))
+                u1f, u2f = _unit(u0), _unit(u1)
+                ldx = np.float32(lx) + u1f - x
+                ldy = np.float32(ly) + u2f - y
+                ldz = np.float32(lz) - z
+                d3 = _normalize3(ldx, ldy, ldz)
+                shadow.append(((x, y, z), d3, None))
+                lambs.append(d3[0] * nx + d3[1] * ny + d3[2] * nz)
+                rels.append(base_rel & (lambs[-1] >= 0))
+        occs = _occluded_rays_shared(tri, shadow, scn_const, neg_t,
+                                     relevants=rels)
+
+        for j in range(G):
+            t, m, nx, ny, nz, x, y, z, dx, dy, dz = hits[j]
+            ti = jnp.zeros_like(t)
+            for i, (lx, ly, lz, li) in enumerate(lights):
+                idx = j * len(lights) + i
+                lamb = lambs[idx]
+                dqx = np.float32(lx) - x
+                dqy = np.float32(ly) - y
+                dqz = np.float32(lz) - z
+                dist2 = dqx * dqx + dqy * dqy + dqz * dqz
+                ti = ti + jnp.where(
+                    (lamb < 0) | (occs[idx] != 0), np.float32(0.0),
+                    lamb * jnp.minimum(np.float32(li) / dist2, one))
+            ti = jnp.minimum(ti, one) * np.float32(0.25)
+            sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
+            fr, fg, fb = fr + sr, fg + sg, fb + sb
+        return fr, fg, fb
+
     zero = jnp.zeros((_SUB, 128), jnp.float32)
     acc = (zero, zero, zero)
-    # paired iterations divide the SMEM row reads by the rays sharing
-    # each pass; carry_t stays sequential (its traces are dependent) and
-    # the blocked large-mesh stage scans per ray either way
-    if n_blocks == 0 and not carry_t and spp >= _SPP_GROUP:
-        acc = jax.lax.fori_loop(0, spp // _SPP_GROUP, sample_pair_body, acc)
+    # paired iterations divide the SMEM row reads (and, in blocked mode,
+    # the prepass/take-list/DMA work) by the rays sharing each pass;
+    # carry_t stays sequential (its traces are dependent)
+    if not carry_t and spp >= _SPP_GROUP:
+        group_body = sample_group_blocked if n_blocks else sample_pair_body
+        acc = jax.lax.fori_loop(0, spp // _SPP_GROUP, group_body, acc)
         for tail_s in range((spp // _SPP_GROUP) * _SPP_GROUP, spp):
             acc = sample_body(jnp.int32(tail_s), acc)
     else:
@@ -1050,25 +1208,31 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
     kernel = functools.partial(
         _mega_kernel, width=width, spp=spp, scn_const=_scene_const(scn),
         neg_t=neg_t, nt=nt, n_blocks=n_blocks, carry_t=carry_t)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ] + tri_specs,
-        out_specs=pl.BlockSpec((3 * _SUB, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 3 * _SUB, 128),
-                                       jnp.float32),
-        scratch_shapes=scratch_shapes,
-        cost_estimate=pl.CostEstimate(
-            flops=R * spp * (150 * max(1, nt) + 500),
-            bytes_accessed=R * 12 + ntp * 48,
-            transcendentals=R * spp * 8,
-        ),
-        interpret=interpret,
-    )(scalars, *tri_inputs)
+    global _UNROLL
+    prev_unroll = _UNROLL
+    _UNROLL = not interpret
+    try:
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ] + tri_specs,
+            out_specs=pl.BlockSpec((3 * _SUB, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles * 3 * _SUB, 128),
+                                           jnp.float32),
+            scratch_shapes=scratch_shapes,
+            cost_estimate=pl.CostEstimate(
+                flops=R * spp * (150 * max(1, nt) + 500),
+                bytes_accessed=R * 12 + ntp * 48,
+                transcendentals=R * spp * 8,
+            ),
+            interpret=interpret,
+        )(scalars, *tri_inputs)
+    finally:
+        _UNROLL = prev_unroll
 
     if blocked:
         # (ty, tx, 3, TH, TW) -> (ty*TH, tx*TW, 3), ghost pixels dropped

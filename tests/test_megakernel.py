@@ -143,6 +143,21 @@ def test_megakernel_blocked_matches_smem():
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
+def test_megakernel_blocked_grouped_and_tail():
+    """spp >= _SPP_GROUP engages the blocked spp group (shared union
+    take-lists for primaries and shadows); spp=5 also covers the tail
+    sample.  Content band so shadows/shading are live."""
+    scn = prep_scene(small_scene())
+    key = make_key(17)
+    kw = dict(row_offset=300, rows=8)
+    a = ref_film(key, scn, 40, 308, 5, **kw)
+    b = np.asarray(M.film_super_mega(key, scn, 40, 308, 5, quirks=DEFAULT,
+                                     interpret=True, force_blocked=True,
+                                     **kw))
+    assert np.asarray(a).var() > 1e-5
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
 def test_megakernel_blocked_reference_quirks():
     """neg_t quirk mode disables the eps/t prunes; results still match."""
     scn = prep_scene(small_scene())
