@@ -30,6 +30,20 @@ def quantize_film(film, wrap: bool = False):
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+def quantize_film16(film):
+    """Pre-ambient (H, W, 3) float film -> (H, W, 4) uint16 (maxval
+    65535): the display scale [0, 255] mapped linearly onto [0, 65535],
+    saturating, round-half-even — bit-identical to the host
+    utils/pam.py::film_to_rgba16 (the wrap quirk is an 8-bit
+    convert_uchar4 artefact with no 16-bit analogue)."""
+    film = film + AMBIENT
+    rgb = jnp.clip(jnp.round(film * np.float32(65535.0 / 255.0)),
+                   0.0, 65535.0).astype(jnp.uint16)
+    h, w, _ = film.shape
+    alpha = jnp.full((h, w, 1), 65535, jnp.uint16)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
 def reduce_samples(samples, sample_grid: int, wrap: bool = False):
     """(H*sg, W*sg, 3) float32 sample buffer -> (H, W, 4) uint8 image.
 

@@ -277,18 +277,34 @@ def main(argv=None):
                         mutation_rounds=rounds, use_grid=use_grid,
                         grid_modifier=mod)
 
+    # Quantise on DEVICE when the film is still device-resident (as the
+    # reference kernels do — convert_uchar4 in pathtracer.ocl:240): the
+    # host transfer is then 4 bytes/px RGBA8 instead of 12 bytes/px f32,
+    # which dominates per-call latency at CLI sizes.  Checkpoint-resumed
+    # films arrive as host numpy and take the host path (bit-identical:
+    # tests/test_pam.py pins device == host quantisation).
+    import jax as _jax
+    on_device = isinstance(film, _jax.Array) if ns.variant != "nodof" \
+        else False
     if ns.variant == "nodof":
         rgba = np.asarray(img)
-    else:
-        rgba = film_to_rgba8(np.asarray(film), wrap=quirks.wrap_uint8)
-    if ns.pam_maxval == 65535:
-        from .pam import film_to_rgba16
-        if ns.variant == "nodof":
+        if ns.pam_maxval == 65535:
             # the nodof reduce kernel emits RGBA8 (reduce4img_lmem,
             # ...NoDoF/pathtracer.ocl:268-271); widen exactly (255 -> 65535)
             rgba = rgba.astype(np.uint16) * np.uint16(257)
+    elif ns.pam_maxval == 65535:
+        if on_device:
+            from ..ops.reduce import quantize_film16
+            rgba = np.asarray(_jax.jit(quantize_film16)(film))
         else:
+            from .pam import film_to_rgba16
             rgba = film_to_rgba16(np.asarray(film))
+    elif on_device:
+        from ..ops.reduce import quantize_film
+        rgba = np.asarray(_jax.jit(quantize_film, static_argnames="wrap")(
+            film, wrap=quirks.wrap_uint8))
+    else:
+        rgba = film_to_rgba8(np.asarray(film), wrap=quirks.wrap_uint8)
     t0 = time.perf_counter()
     save_pam(out_name, ImgInfo(width=w, height=h, channels=4,
                                maxval=ns.pam_maxval,

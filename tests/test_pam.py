@@ -58,3 +58,32 @@ def test_film_to_rgba8_saturate_and_wrap():
     assert wrap[0, 0, 1] == 100
     assert wrap[0, 0, 2] == 300 % 256
     assert wrap[0, 0, 3] == 255
+
+
+def test_device_quantization_matches_host():
+    """The CLI quantises on device when the film is device-resident
+    (ops/reduce.py::quantize_film / quantize_film16) so only RGBA8/16
+    crosses the tunnel; it must be BIT-identical to the host
+    film_to_rgba8/16 path on every value class: fractional, negative
+    (bidirectional's shadow correction can undershoot), and >255
+    (the wrap quirk's whole reason to exist)."""
+    import jax
+    from opencl_montecarlo_path_tracing_tpu.ops.reduce import (
+        quantize_film, quantize_film16)
+
+    rng = np.random.default_rng(7)
+    film = rng.uniform(-40.0, 600.0, size=(9, 11, 3)).astype(np.float32)
+    # exact integer boundaries too (trunc/round ties)
+    film[0, :, :] = np.array([254.0, 255.0, 256.0], np.float32)
+    film[1, :, :] = np.array([-13.0, -0.5, 242.5], np.float32)
+
+    dev = np.asarray(jax.jit(quantize_film, static_argnames="wrap")(
+        film, wrap=False))
+    np.testing.assert_array_equal(dev, pam.film_to_rgba8(film, wrap=False))
+
+    dev = np.asarray(jax.jit(quantize_film, static_argnames="wrap")(
+        film, wrap=True))
+    np.testing.assert_array_equal(dev, pam.film_to_rgba8(film, wrap=True))
+
+    dev16 = np.asarray(jax.jit(quantize_film16)(film))
+    np.testing.assert_array_equal(dev16, pam.film_to_rgba16(film))
