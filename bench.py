@@ -44,8 +44,9 @@ FLOORS = {
     "trianglegrid": 10.0,    # measured 17.9 r2 (megakernel route; the
                              # forced-DDA path is 0.2, accel="dda")
     # stress rows (round 3):
-    "super_largemesh": 2.0,  # 20736-tri torus at 512^2: the take-list
-                             # blocked scan; floor raised as it improves
+    "super_largemesh": 4.0,  # 20736-tri torus at 512^2: take-list
+                             # blocked scan + two-level macro prepass;
+                             # measured 7.8-8.6 per-call (44 amortized)
     "bidirectional_dense": 20.0,  # ~100%-live VLP table (compaction OFF
                              # the table): the uncompacted-gather regime
 }

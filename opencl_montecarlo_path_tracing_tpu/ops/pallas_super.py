@@ -49,6 +49,8 @@ _SPP_GROUP = 4             # spp samples sharing each triangle-table pass
                            # (measured 1024^2x1024: G=2 286, G=4 290,
                            # G=8 263 Mpaths/s - vreg pressure wins at 8)
 _TRI_BLOCK = 128           # triangles per Morton block (one DMA chunk)
+_MACRO = 8                 # blocks per macro-AABB (two-level prepass);
+                           # 8 divides the 128-row flag group exactly
 _TW, _TH = 64, 32          # blocked-mode pixel tile (64 x 32 = _TILE rays):
                            # a compact footprint keeps the tile frustum
                            # narrow so the any-lane AABB skip actually
@@ -239,49 +241,109 @@ def _slab(aabb6, ox, oy, oz, inv_dx, inv_dy, inv_dz):
 _PRUNE_SLACK = np.float32(1.0 + 1e-3)
 
 
-def _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl, carry):
-    """Vector-only per-block take flags with NO per-block cross-lane
-    reduction (each one costs ~3 us of vector->scalar latency on v5e -
-    docs/PERF.md round 3).  For every Morton block, slab-test its AABB
-    (SMEM scalar broadcasts) against the ray bundle, reduce any-lane only
-    over SUBLANES (a cheap in-register reduce) and stack the resulting
-    (1, 128) per-lane rows into a (128, 128) block x lane matrix; ONE
-    cross-lane reduction per 128-block group then yields the (128, 1)
-    flag column, which moves to SMEM with one async copy.  Total: ~25 VPU
-    ops per block plus two syncs per trace."""
+def _flag_prepass(tri, box_test):
+    """Two-level vector-only take-flag prepass with NO per-block
+    cross-lane reduction (each costs ~3 us of vector->scalar latency on
+    v5e - docs/PERF.md round 3).  ``box_test(a6) -> (SUB, 128) bool``
+    runs the conservative slab+prune predicate (unioned over all the
+    trace's bundles) against one AABB's six SMEM scalars.
+
+    Level 1 flags MACRO boxes (each enclosing _MACRO padded block
+    AABBs, so a macro miss implies every member block misses) and moves
+    the flags to SMEM with one async copy.  Level 2 runs the per-block
+    tests only inside ``pl.when(macro taken)`` - the scalar SMEM read
+    costs no sync, so the dominant linear-in-scene cost (n_blocks slab
+    tests per bundle per trace, measured ~52 ps/path/block: the ENTIRE
+    1k->65k scaling loss, docs/PERF.md) drops to n_macros +
+    _MACRO x taken_macros.  Block rows land in the (128, 128) lane
+    matrix as before; ONE cross-lane reduction per 128-block group
+    yields the (128, 1) flag column for the take-list build."""
     aabb_ref = tri["aabb"]
+    aabb_m = tri["aabb_m"]
     mat = tri["flag_mat"]
     flags_v = tri["flags_v"]
     flags_s = tri["flags_s"]
+    mflags_v = tri["mflags_v"]
+    mflags_s = tri["mflags_s"]
     fsem = tri["fsem"]
     nb = tri["n_blocks"]
-    one = np.float32(1.0)
-    inv_dx, inv_dy, inv_dz = one / dx, one / dy, one / dz
-    for g in range(0, nb, 128):
-        gn = min(128, nb - g)
+    nm = tri["n_macros"]
+
+    if nm <= 2:
+        # <= 16 blocks: a macro level cannot cull enough to pay for its
+        # extra flag DMA + sync - run the flat single-level prepass
+        for g in range(0, nb, 128):
+            gn = min(128, nb - g)
+            if gn < 128:
+                mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
+            for l in range(gn):
+                a6 = [aabb_ref[g + l, j] for j in range(6)]
+                mat[pl.ds(l, 1), :] = jnp.max(
+                    box_test(a6).astype(jnp.int32), axis=0, keepdims=True)
+            flags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1,
+                                                keepdims=True)
+        cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
+        cp.start()
+        cp.wait()
+        return
+
+    for g in range(0, nm, 128):
+        gn = min(128, nm - g)
         if gn < 128:
             mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
         for l in range(gn):
-            b = g + l
-            a6 = [aabb_ref[b, j] for j in range(6)]
-            tmin, tmax = _slab(a6, ox, oy, oz, inv_dx, inv_dy, inv_dz)
-            hit = tmax >= tmin
-            if not neg_t:
-                hit = hit & (tmax >= _EPS)
-                if occ_tl is None:
-                    bn, bd = carry[0], carry[1]
-                    hit = hit & (jnp.maximum(tmin, 0.0) * bd
-                                 <= bn * _PRUNE_SLACK)
-                else:
-                    hit = hit & (tmin <= occ_tl * _PRUNE_SLACK)
-            if occ_tl is not None:
-                hit = hit & (carry == 0)
-            mat[pl.ds(l, 1), :] = jnp.max(hit.astype(jnp.int32), axis=0,
-                                          keepdims=True)
+            a6 = [aabb_m[g + l, j] for j in range(6)]
+            mat[pl.ds(l, 1), :] = jnp.max(box_test(a6).astype(jnp.int32),
+                                          axis=0, keepdims=True)
+        mflags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1,
+                                             keepdims=True)
+    cp = pltpu.make_async_copy(mflags_v, mflags_s, fsem)
+    cp.start()
+    cp.wait()
+
+    for g in range(0, nb, 128):
+        # gated writes may skip rows: clear the whole group first
+        mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
+        for mloc in range(0, min(128, nb - g), _MACRO):
+            mm = (g + mloc) // _MACRO
+
+            def _blocks_of_macro(mloc=mloc):
+                for u in range(_MACRO):
+                    a6 = [aabb_ref[g + mloc + u, j] for j in range(6)]
+                    mat[pl.ds(mloc + u, 1), :] = jnp.max(
+                        box_test(a6).astype(jnp.int32), axis=0,
+                        keepdims=True)
+
+            pl.when(mflags_s[mm, 0] == 1)(_blocks_of_macro)
         flags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1, keepdims=True)
     cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
     cp.start()
     cp.wait()
+
+
+def _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl, carry):
+    """Single-bundle take flags (closest-hit when ``occ_tl is None``,
+    else occlusion with running occ mask in ``carry``): the conservative
+    slab + t-prune predicate fed through the two-level _flag_prepass."""
+    one = np.float32(1.0)
+    inv_dx, inv_dy, inv_dz = one / dx, one / dy, one / dz
+
+    def box_test(a6):
+        tmin, tmax = _slab(a6, ox, oy, oz, inv_dx, inv_dy, inv_dz)
+        hit = tmax >= tmin
+        if not neg_t:
+            hit = hit & (tmax >= _EPS)
+            if occ_tl is None:
+                bn, bd = carry[0], carry[1]
+                hit = hit & (jnp.maximum(tmin, 0.0) * bd
+                             <= bn * _PRUNE_SLACK)
+            else:
+                hit = hit & (tmin <= occ_tl * _PRUNE_SLACK)
+        if occ_tl is not None:
+            hit = hit & (carry == 0)
+        return hit
+
+    _flag_prepass(tri, box_test)
 
 
 def _take_list(tri):
@@ -350,41 +412,27 @@ def _closest_blocked_multi(tri, rays, neg_t: bool, carries):
     the result is identical (same closest-hit math, superset of rows).
     ``carries`` are blocked-mode carries (bn, bd, bi, m, nx, ny, nz,
     needs); returns them updated."""
-    aabb_ref = tri["aabb"]
-    mat = tri["flag_mat"]
-    flags_v = tri["flags_v"]
-    flags_s = tri["flags_s"]
-    fsem = tri["fsem"]
     tbl_any = tri["tbl"]
     scratch = tri["scratch"]
     sem = tri["sem"]
     list_s = tri["list"]
-    nb = tri["n_blocks"]
     one = np.float32(1.0)
     invs = [(one / dx, one / dy, one / dz) for _, (dx, dy, dz) in rays]
-    for g in range(0, nb, 128):
-        gn = min(128, nb - g)
-        if gn < 128:
-            mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
-        for l in range(gn):
-            b = g + l
-            a6 = [aabb_ref[b, j] for j in range(6)]
-            acc = None
-            for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
-                tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
-                hit = tmax >= tmin
-                if not neg_t:
-                    bn, bd = carries[k][0], carries[k][1]
-                    hit = hit & (tmax >= _EPS)
-                    hit = hit & (jnp.maximum(tmin, 0.0) * bd
-                                 <= bn * _PRUNE_SLACK)
-                acc = hit if acc is None else (acc | hit)
-            mat[pl.ds(l, 1), :] = jnp.max(acc.astype(jnp.int32), axis=0,
-                                          keepdims=True)
-        flags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1, keepdims=True)
-    cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
-    cp.start()
-    cp.wait()
+
+    def box_test(a6):
+        acc = None
+        for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
+            tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
+            hit = tmax >= tmin
+            if not neg_t:
+                bn, bd = carries[k][0], carries[k][1]
+                hit = hit & (tmax >= _EPS)
+                hit = hit & (jnp.maximum(tmin, 0.0) * bd
+                             <= bn * _PRUNE_SLACK)
+            acc = hit if acc is None else (acc | hit)
+        return acc
+
+    _flag_prepass(tri, box_test)
     cnt = _take_list(tri)
     flat = []
     for c in carries:
@@ -571,16 +619,10 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
     block AABBs - unmasked, sky tiles scan most of the mesh for shadow
     rays whose result is discarded (measured 110 of 179 ms/frame on the
     20k-torus at 256^2, docs/PERF.md round 3)."""
-    aabb_ref = tri["aabb"]
-    mat = tri["flag_mat"]
-    flags_v = tri["flags_v"]
-    flags_s = tri["flags_s"]
-    fsem = tri["fsem"]
     tbl_any = tri["tbl"]
     scratch = tri["scratch"]
     sem = tri["sem"]
     list_s = tri["list"]
-    nb = tri["n_blocks"]
     one = np.float32(1.0)
     invs = [(one / dx, one / dy, one / dz) for _, (dx, dy, dz), _tl in rays]
     gates = []
@@ -589,27 +631,19 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
         if relevants[k] is not None:
             g = g & relevants[k]
         gates.append(g)
-    for g in range(0, nb, 128):
-        gn = min(128, nb - g)
-        if gn < 128:
-            mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
-        for l in range(gn):
-            b = g + l
-            a6 = [aabb_ref[b, j] for j in range(6)]
-            acc = None
-            for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
-                tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
-                hit = tmax >= tmin
-                if not neg_t:
-                    hit = hit & (tmax >= _EPS) & (tmin <= tl * _PRUNE_SLACK)
-                hit = hit & gates[k]
-                acc = hit if acc is None else (acc | hit)
-            mat[pl.ds(l, 1), :] = jnp.max(acc.astype(jnp.int32), axis=0,
-                                          keepdims=True)
-        flags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1, keepdims=True)
-    cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
-    cp.start()
-    cp.wait()
+
+    def box_test(a6):
+        acc = None
+        for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
+            tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
+            hit = tmax >= tmin
+            if not neg_t:
+                hit = hit & (tmax >= _EPS) & (tmin <= tl * _PRUNE_SLACK)
+            hit = hit & gates[k]
+            acc = hit if acc is None else (acc | hit)
+        return acc
+
+    _flag_prepass(tri, box_test)
     cnt = _take_list(tri)
 
     def scan(i, occs):
@@ -764,13 +798,14 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                  scn_const, neg_t: bool, nt: int, n_blocks: int = 0,
                  carry_t: bool = False):
     if n_blocks:
-        aabb_ref, tbl_any, out_ref, scratch, sem, flag_mat, flags_v, \
-            flags_s, list_s, fsem = refs
+        aabb_ref, aabb_m, tbl_any, out_ref, scratch, sem, flag_mat, \
+            flags_v, flags_s, list_s, fsem, mflags_v, mflags_s = refs
         tri = {"mode": "blocked", "nt": nt, "aabb": aabb_ref,
-               "tbl": tbl_any, "scratch": scratch, "sem": sem,
-               "n_blocks": n_blocks, "flag_mat": flag_mat,
+               "aabb_m": aabb_m, "tbl": tbl_any, "scratch": scratch,
+               "sem": sem, "n_blocks": n_blocks,
+               "n_macros": n_blocks // _MACRO, "flag_mat": flag_mat,
                "flags_v": flags_v, "flags_s": flags_s, "list": list_s,
-               "fsem": fsem}
+               "fsem": fsem, "mflags_v": mflags_v, "mflags_s": mflags_s}
     else:
         tbl_ref, out_ref = refs
         tri = {"mode": "smem", "nt": nt, "tbl": tbl_ref}
@@ -1070,8 +1105,12 @@ def _tri_blocks(scn):
     order = np.argsort(code, kind="stable")
     tbl, lo, hi = tbl[order], lo[order], hi[order]
 
-    ntp = -(-nt // _TRI_BLOCK) * _TRI_BLOCK
-    n_blocks = ntp // _TRI_BLOCK
+    # block count padded to full macros so every macro AABB encloses
+    # exactly _MACRO block AABBs (padding blocks are empty boxes +
+    # det==0 rows - never flagged, never hit)
+    n_blocks = -(-nt // _TRI_BLOCK)
+    n_blocks = -(-n_blocks // _MACRO) * _MACRO
+    ntp = n_blocks * _TRI_BLOCK
     big = np.float32(3e38)
     aabbs = np.empty((n_blocks, 6), np.float32)
     for b in range(n_blocks):
@@ -1085,16 +1124,32 @@ def _tri_blocks(scn):
             aabbs[b, :3] = blo - pad
             aabbs[b, 3:] = bhi + pad
 
-    # near-to-far block order from the (fixed) camera position: primary
-    # rays fill the running-t early, so far blocks fail the t-prune and
-    # skip their DMA + row scan entirely
+    # macros group _MACRO MORTON-consecutive blocks (spatially compact,
+    # so the enclosing macro AABB stays tight); macros - not individual
+    # blocks - are then ordered near-to-far from the (fixed) camera.
+    # The scan itself is order-independent (take-lists are built before
+    # any row runs, and the closest-hit tie-break is by original index),
+    # so the ordering choice only shapes AABB tightness.
+    n_macros = n_blocks // _MACRO
+    aabbs_m = np.empty((n_macros, 6), np.float32)
+    for m in range(n_macros):
+        grp = aabbs[m * _MACRO:(m + 1) * _MACRO]
+        nonempty = grp[:, 0] <= grp[:, 3]
+        if not nonempty.any():
+            aabbs_m[m, :3], aabbs_m[m, 3:] = big, -big
+        else:
+            aabbs_m[m, :3] = grp[nonempty, :3].min(axis=0)
+            aabbs_m[m, 3:] = grp[nonempty, 3:].max(axis=0)
     campos = np.asarray(make_camera(z_sign=-1.0).pos, np.float32)
     cdist = np.linalg.norm(
-        np.clip(campos, aabbs[:, :3], np.maximum(aabbs[:, 3:],
-                                                 aabbs[:, :3])) - campos,
+        np.clip(campos, aabbs_m[:, :3],
+                np.maximum(aabbs_m[:, 3:], aabbs_m[:, :3])) - campos,
         axis=-1)
-    cdist[aabbs[:, 0] > aabbs[:, 3]] = np.inf  # empty padding blocks last
-    border = np.argsort(cdist, kind="stable")
+    cdist[aabbs_m[:, 0] > aabbs_m[:, 3]] = np.inf  # empty macros last
+    morder = np.argsort(cdist, kind="stable")
+    aabbs_m = aabbs_m[morder]
+    border = (morder[:, None] * _MACRO
+              + np.arange(_MACRO)[None, :]).ravel()
     aabbs = aabbs[border]
 
     # row 12 carries each triangle's ORIGINAL index (exact in f32 below
@@ -1109,7 +1164,7 @@ def _tri_blocks(scn):
         ds_ = newb * _TRI_BLOCK
         tblT[:12, ds_:ds_ + (e - s)] = tbl[s:e].T
         tblT[12, ds_:ds_ + (e - s)] = order[s:e].astype(np.float32)
-    return tblT, aabbs
+    return tblT, aabbs, aabbs_m
 
 
 def _scene_const(scn):
@@ -1176,22 +1231,29 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
         jnp.asarray(row_offset, _U32), 0, 0, 0]], dtype=_U32)
 
     if blocked:
-        tblT, aabbs = _tri_blocks(scn)
+        tblT, aabbs, aabbs_m = _tri_blocks(scn)
         n_blocks = aabbs.shape[0]
-        tri_inputs = [jnp.asarray(aabbs), jnp.asarray(tblT)]
+        n_macros = aabbs_m.shape[0]
+        tri_inputs = [jnp.asarray(aabbs), jnp.asarray(aabbs_m),
+                      jnp.asarray(tblT)]
         tri_specs = [
             pl.BlockSpec((n_blocks, 6), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_macros, 6), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         nb_pad = -(-n_blocks // 128) * 128
+        nm_pad = -(-n_macros // 128) * 128
         scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
                           pltpu.SemaphoreType.DMA,
                           pltpu.VMEM((128, 128), jnp.int32),
                           pltpu.VMEM((nb_pad, 1), jnp.int32),
                           pltpu.SMEM((nb_pad, 1), jnp.int32),
                           pltpu.SMEM((1, n_blocks + 1), jnp.int32),
-                          pltpu.SemaphoreType.DMA]
+                          pltpu.SemaphoreType.DMA,
+                          pltpu.VMEM((nm_pad, 1), jnp.int32),
+                          pltpu.SMEM((nm_pad, 1), jnp.int32)]
         ntp = tblT.shape[1]
     else:
         n_blocks = 0

@@ -168,13 +168,57 @@ def test_megakernel_blocked_reference_quirks():
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
+def test_megakernel_blocked_macro_path():
+    """Meshes with more than 2 macros take the TWO-LEVEL prepass (macro
+    AABB flags gating the per-block tests behind pl.when) - small scenes
+    fall back to the flat prepass, so shrink the block/macro constants
+    to drive the hierarchy with an interpret-sized mesh, and pin
+    equality against the XLA pipeline on a window that sees the mesh
+    (120-triangle torus placed on the (20, 150) view ray; the fixed-
+    frame top-left window is otherwise all sky)."""
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
+    from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
+    scn = prep_scene(Scene(
+        sphere_centers=np.zeros((0, 3), np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=torus_mesh(center=(17.959, 4.252, 10.25),
+                             n_major=10, n_minor=6),
+        lights=np.array([[10, 4, 10, 200]], np.float32),
+    ))
+    key = make_key(23)
+    kw = dict(row_offset=150, rows=8)
+    prev = M._TRI_BLOCK, M._MACRO
+    M._TRI_BLOCK, M._MACRO = 8, 2   # 120 tris -> 16 blocks, 8 macros
+    try:
+        tblT, aabbs, aabbs_m = M._tri_blocks(scn)
+        assert aabbs_m.shape[0] > 2   # hierarchy actually engaged
+        a = ref_film(key, scn, 40, 158, 2, **kw)
+        b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                         quirks=DEFAULT, interpret=True,
+                                         force_blocked=True, **kw))
+    finally:
+        M._TRI_BLOCK, M._MACRO = prev
+    assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
 def test_tri_blocks_structure():
     """Morton blocks: a permutation of the triangle table with original
     indices in row 12, conservative AABBs containing every member
-    triangle's vertices (padding columns carry index 2^24)."""
+    triangle's vertices (padding columns carry index 2^24); every macro
+    AABB encloses its _MACRO member block AABBs."""
     scn = prep_scene(small_scene())
     from opencl_montecarlo_path_tracing_tpu.ops.intersect import _tri_table
-    tblT, aabbs = M._tri_blocks(scn)
+    tblT, aabbs, aabbs_m = M._tri_blocks(scn)
+    assert aabbs.shape[0] == aabbs_m.shape[0] * M._MACRO
+    for m in range(aabbs_m.shape[0]):
+        grp = aabbs[m * M._MACRO:(m + 1) * M._MACRO]
+        nonempty = grp[:, 0] <= grp[:, 3]
+        if nonempty.any():
+            assert (aabbs_m[m, :3] <= grp[nonempty, :3] + 1e-6).all()
+            assert (aabbs_m[m, 3:] >= grp[nonempty, 3:] - 1e-6).all()
+        else:
+            assert aabbs_m[m, 0] > aabbs_m[m, 3]
     nt = scn.tri_v0.shape[0]
     orig = _tri_table(scn)
     real = tblT[12] < 2 ** 24

@@ -8,6 +8,7 @@ amortized over several frames (kernel throughput).
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -59,7 +60,11 @@ def bench(fn, key, repeats=REPEATS):
 
 def main():
     key = make_key(9)
-    for tag, nm in MESHES:
+    only = os.environ.get("SWEEP_ONLY")  # comma-separated tag prefixes
+    meshes = MESHES if not only else [
+        (t, nm) for t, nm in MESHES
+        if any(t.startswith(p) for p in only.split(","))]
+    for tag, nm in meshes:
         scn = scene_for(nm)
         nt = int(scn.tri_v0.shape[0])
         fn = jax.jit(lambda k, s=scn: M.film_super_mega(k, s, SIZE, SIZE,

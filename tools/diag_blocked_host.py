@@ -56,7 +56,7 @@ def slab_hits(o, d, aabbs):
 
 def main():
     scn = big_scene()
-    tblT, aabbs = M._tri_blocks(scn)
+    tblT, aabbs, aabbs_m = M._tri_blocks(scn)
     nb = aabbs.shape[0]
     live = aabbs[:, 0] <= aabbs[:, 3]
     print(f"blocks: {nb} ({live.sum()} live)")
