@@ -51,6 +51,21 @@ _SPP_GROUP = 4             # spp samples sharing each triangle-table pass
 _TRI_BLOCK = 128           # triangles per Morton block (one DMA chunk)
 _MACRO = 8                 # blocks per macro-AABB (two-level prepass);
                            # 8 divides the 128-row flag group exactly
+_SEG = 1024                # blocks per scan SEGMENT (131k triangles).
+                           # Multi-segment scans re-run the flag prepass
+                           # between near-to-far segments with the t/occ
+                           # carries the earlier ones established - the
+                           # dynamic re-prune a static take-list cannot
+                           # see.  Measured A/B at 20k-65k triangles:
+                           # each extra segment costs ~2 flag-DMA waits
+                           # (~3 us each) per trace while the re-prune
+                           # saves only ~2 taken blocks/tile on the
+                           # torus scenes - a net ~10% loss - so _SEG
+                           # keeps every <= 131k-tri mesh in ONE segment;
+                           # segmentation exists as the streaming
+                           # mechanism for meshes beyond the SMEM AABB
+                           # budget (tests shrink it to pin the
+                           # multi-segment path's exactness)
 _TW, _TH = 64, 32          # blocked-mode pixel tile (64 x 32 = _TILE rays):
                            # a compact footprint keeps the tile frustum
                            # narrow so the any-lane AABB skip actually
@@ -241,12 +256,14 @@ def _slab(aabb6, ox, oy, oz, inv_dx, inv_dy, inv_dz):
 _PRUNE_SLACK = np.float32(1.0 + 1e-3)
 
 
-def _flag_prepass(tri, box_test):
+def _flag_prepass(tri, box_test, b0=0, bn=None):
     """Two-level vector-only take-flag prepass with NO per-block
     cross-lane reduction (each costs ~3 us of vector->scalar latency on
-    v5e - docs/PERF.md round 3).  ``box_test(a6) -> (SUB, 128) bool``
-    runs the conservative slab+prune predicate (unioned over all the
-    trace's bundles) against one AABB's six SMEM scalars.
+    v5e - docs/PERF.md round 3), over the block range [b0, b0+bn) (one
+    scan segment; defaults to every block).  ``box_test(a6) ->
+    (SUB, 128) bool`` runs the conservative slab+prune predicate
+    (unioned over all the trace's bundles) against one AABB's six SMEM
+    scalars.
 
     Level 1 flags MACRO boxes (each enclosing _MACRO padded block
     AABBs, so a macro miss implies every member block misses) and moves
@@ -257,7 +274,15 @@ def _flag_prepass(tri, box_test):
     1k->65k scaling loss, docs/PERF.md) drops to n_macros +
     _MACRO x taken_macros.  Block rows land in the (128, 128) lane
     matrix as before; ONE cross-lane reduction per 128-block group
-    yields the (128, 1) flag column for the take-list build."""
+    yields the (128, 1) flag column for the take-list build.
+
+    Segment ranges are _SEG-aligned (b0 multiple of _SEG, bn a multiple
+    of _MACRO), so every VMEM write below starts on a sublane tile
+    boundary and rounds its length up to 8 inside the padded arrays
+    (rows past the range are zeros from the cleared mat).  The flag
+    DMAs copy the FULL padded arrays: Mosaic cannot slice a (N, 1)
+    array's lane dim, rows outside the segment are never read, and the
+    copies are <= 2 KB."""
     aabb_ref = tri["aabb"]
     aabb_m = tri["aabb_m"]
     mat = tri["flag_mat"]
@@ -268,10 +293,13 @@ def _flag_prepass(tri, box_test):
     fsem = tri["fsem"]
     nb = tri["n_blocks"]
     nm = tri["n_macros"]
+    if bn is None:
+        bn = nb - b0
 
     if nm <= 2:
         # <= 16 blocks: a macro level cannot cull enough to pay for its
         # extra flag DMA + sync - run the flat single-level prepass
+        # (single segment: b0 == 0, bn == nb)
         for g in range(0, nb, 128):
             gn = min(128, nb - g)
             if gn < 128:
@@ -287,24 +315,30 @@ def _flag_prepass(tri, box_test):
         cp.wait()
         return
 
-    for g in range(0, nm, 128):
-        gn = min(128, nm - g)
+    m0, mn = b0 // _MACRO, bn // _MACRO
+    for g in range(m0, m0 + mn, 128):
+        gn = min(128, m0 + mn - g)
         if gn < 128:
             mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
         for l in range(gn):
             a6 = [aabb_m[g + l, j] for j in range(6)]
             mat[pl.ds(l, 1), :] = jnp.max(box_test(a6).astype(jnp.int32),
                                           axis=0, keepdims=True)
-        mflags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1,
-                                             keepdims=True)
+        col = jnp.max(mat[...], axis=1, keepdims=True)
+        wn = min(-(-gn // 8) * 8, mflags_v.shape[0] - g)
+        mflags_v[pl.ds(g, wn), :] = col[:wn]
+    # full-array flag copies: Mosaic cannot DMA-slice a (N, 1) array
+    # (lane extent 1 vs 128 tiling); rows outside [m0, m0+mn) are stale
+    # and never read, and the whole array is <= 2 KB
     cp = pltpu.make_async_copy(mflags_v, mflags_s, fsem)
     cp.start()
     cp.wait()
 
-    for g in range(0, nb, 128):
+    for g in range(b0, b0 + bn, 128):
         # gated writes may skip rows: clear the whole group first
         mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
-        for mloc in range(0, min(128, nb - g), _MACRO):
+        gn = min(128, b0 + bn - g)
+        for mloc in range(0, gn, _MACRO):
             mm = (g + mloc) // _MACRO
 
             def _blocks_of_macro(mloc=mloc):
@@ -315,16 +349,21 @@ def _flag_prepass(tri, box_test):
                         keepdims=True)
 
             pl.when(mflags_s[mm, 0] == 1)(_blocks_of_macro)
-        flags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1, keepdims=True)
+        col = jnp.max(mat[...], axis=1, keepdims=True)
+        wn = min(-(-gn // 8) * 8, flags_v.shape[0] - g)
+        flags_v[pl.ds(g, wn), :] = col[:wn]
     cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
     cp.start()
     cp.wait()
 
 
-def _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl, carry):
+def _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl, carry,
+                 b0=0, bn=None):
     """Single-bundle take flags (closest-hit when ``occ_tl is None``,
     else occlusion with running occ mask in ``carry``): the conservative
-    slab + t-prune predicate fed through the two-level _flag_prepass."""
+    slab + t-prune predicate fed through the two-level _flag_prepass.
+    ``carry`` is the CURRENT running state, so per-segment calls re-prune
+    with the t/occ the previous segments established."""
     one = np.float32(1.0)
     inv_dx, inv_dy, inv_dz = one / dx, one / dy, one / dz
 
@@ -334,39 +373,70 @@ def _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl, carry):
         if not neg_t:
             hit = hit & (tmax >= _EPS)
             if occ_tl is None:
-                bn, bd = carry[0], carry[1]
-                hit = hit & (jnp.maximum(tmin, 0.0) * bd
-                             <= bn * _PRUNE_SLACK)
+                bn_, bd_ = carry[0], carry[1]
+                hit = hit & (jnp.maximum(tmin, 0.0) * bd_
+                             <= bn_ * _PRUNE_SLACK)
             else:
                 hit = hit & (tmin <= occ_tl * _PRUNE_SLACK)
         if occ_tl is not None:
             hit = hit & (carry == 0)
         return hit
 
-    _flag_prepass(tri, box_test)
+    _flag_prepass(tri, box_test, b0, bn)
 
 
-def _take_list(tri):
-    """Branch-free SMEM take-list build from the flag rows: every block
-    id is written at the current count and the count advances only on
-    taken blocks, so dead writes are overwritten by the next taken id
-    (positions >= cnt are never read).  Returns the int32 count."""
+def _take_list(tri, b0=0, bn=None):
+    """SMEM take-list build over the block range [b0, b0+bn) from the
+    flag rows.  Flat meshes (<= 2 macros) use the branch-free scalar
+    form: every block id is written at the current count and the count
+    advances only on taken blocks, so dead writes are overwritten by the
+    next taken id (positions >= cnt are never read).  Two-level meshes
+    iterate MACROS and visit member blocks only under ``pl.when(macro
+    taken)`` with the count carried in an SMEM cell - the scalar build
+    was the dominant linear-in-scene cost once the prepass went
+    hierarchical (n_blocks dependent scalar iterations per trace), and
+    the gate cuts it to n_macros checks + _MACRO x taken_macros
+    iterations.  Returns the int32 count."""
     flags_s = tri["flags_s"]
     list_s = tri["list"]
-    cnt = jnp.int32(0)
-    for b in range(tri["n_blocks"]):   # straight-line scalar code: a fori
-        list_s[0, cnt] = b             # here costs 1.1 us x n_blocks
-        cnt = cnt + flags_s[b, 0]
-    return cnt
+    nb = tri["n_blocks"]
+    if bn is None:
+        bn = nb - b0
+    if tri["n_macros"] <= 2:
+        cnt = jnp.int32(0)
+        for b in range(b0, b0 + bn):   # straight-line scalar code: a
+            list_s[0, cnt] = b         # fori here costs 1.1 us x blocks
+            cnt = cnt + flags_s[b, 0]
+        return cnt
+    mflags_s = tri["mflags_s"]
+    cnt_s = tri["cnt"]
+    cnt_s[0, 0] = jnp.int32(0)
+    for m in range(b0 // _MACRO, (b0 + bn) // _MACRO):
+
+        def _blocks_of_macro(m=m):
+            c = cnt_s[0, 0]
+            for u in range(_MACRO):
+                b = m * _MACRO + u
+                list_s[0, c] = b
+                c = c + flags_s[b, 0]
+            cnt_s[0, 0] = c
+
+        pl.when(mflags_s[m, 0] == 1)(_blocks_of_macro)
+    return cnt_s[0, 0]
 
 
 def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
                       carry, row_update):
     """Morton-blocked triangle scan, take-list form: a vector-only flag
     prepass (_block_flags) decides which 128-triangle blocks the bundle
-    can touch, a scalar loop compacts them into an SMEM take-list, and a
-    dynamic-trip fori DMAs + row-scans EXACTLY the taken blocks - the
-    hot loop has no slab tests, no cross-lane reductions and no conds.
+    can touch, a macro-gated scalar loop compacts them into an SMEM
+    take-list, and a dynamic-trip fori DMAs + row-scans EXACTLY the
+    taken blocks - the hot loop has no slab tests, no cross-lane
+    reductions and no conds.  Meshes beyond _SEG blocks run in SEGMENTS
+    (near-to-far macro order): each segment's prepass re-prunes with
+    the t/occ carry the previous segments established, so torus
+    self-occlusion - invisible to a single static take-list - culls far
+    geometry (see the _SEG comment for the measured overhead trade).
     Conservative tests (padded AABBs, slack on the t prune) mean culling
     never changes the result.  This is the TPU-native replacement for
     the reference's uniform-grid DDA
@@ -377,9 +447,6 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
     scratch = tri["scratch"]
     sem = tri["sem"]
     list_s = tri["list"]
-
-    _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t, occ_tl, carry)
-    cnt = _take_list(tri)
 
     def scan(i, carry):
         b = list_s[0, i]
@@ -398,45 +465,34 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
 
         return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, carry)
 
-    return jax.lax.fori_loop(0, cnt, scan, carry)
+    for b0 in range(0, tri["n_blocks"], _SEG):
+        bn = min(_SEG, tri["n_blocks"] - b0)
+        _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t, occ_tl, carry,
+                     b0, bn)
+        cnt = _take_list(tri, b0, bn)
+        carry = jax.lax.fori_loop(0, cnt, scan, carry)
+    return carry
 
 
 def _closest_blocked_multi(tri, rays, neg_t: bool, carries):
     """Shared blocked CLOSEST-HIT scan for several independent primary
-    bundles (one per spp-group sample): ONE flag prepass computes the
-    union take-list - each block's six AABB scalars are read once and
-    slab+prune-tested against every bundle (per-bundle running bn/bd) -
-    and ONE scan walks the union, sharing each block's DMA and 13 scalar
-    row reads across all bundles.  Scanning a block one bundle did not
-    need only re-tests rows against its strictly-closer running minimum -
-    the result is identical (same closest-hit math, superset of rows).
-    ``carries`` are blocked-mode carries (bn, bd, bi, m, nx, ny, nz,
-    needs); returns them updated."""
+    bundles (one per spp-group sample): per SEGMENT, one flag prepass
+    computes the union take-list - each block's six AABB scalars are
+    read once and slab+prune-tested against every bundle (per-bundle
+    running bn/bd) - and one scan walks the union, sharing each block's
+    DMA and 13 scalar row reads across all bundles.  Later segments
+    re-prune with the bn/bd the earlier ones tightened (near-to-far
+    order makes self-occlusion cull the far mesh).  Scanning a block
+    one bundle did not need only re-tests rows against its
+    strictly-closer running minimum - the result is identical (same
+    closest-hit math, superset of rows).  ``carries`` are blocked-mode
+    carries (bn, bd, bi, m, nx, ny, nz, needs); returns them updated."""
     tbl_any = tri["tbl"]
     scratch = tri["scratch"]
     sem = tri["sem"]
     list_s = tri["list"]
     one = np.float32(1.0)
     invs = [(one / dx, one / dy, one / dz) for _, (dx, dy, dz) in rays]
-
-    def box_test(a6):
-        acc = None
-        for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
-            tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
-            hit = tmax >= tmin
-            if not neg_t:
-                bn, bd = carries[k][0], carries[k][1]
-                hit = hit & (tmax >= _EPS)
-                hit = hit & (jnp.maximum(tmin, 0.0) * bd
-                             <= bn * _PRUNE_SLACK)
-            acc = hit if acc is None else (acc | hit)
-        return acc
-
-    _flag_prepass(tri, box_test)
-    cnt = _take_list(tri)
-    flat = []
-    for c in carries:
-        flat.extend(c)
     nvar = len(carries[0])
 
     def scan(i, flat):
@@ -462,8 +518,31 @@ def _closest_blocked_multi(tri, rays, neg_t: bool, carries):
 
         return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, tuple(flat))
 
-    flat = list(jax.lax.fori_loop(0, cnt, scan, tuple(flat)))
-    return [tuple(flat[k * nvar:(k + 1) * nvar]) for k in range(len(rays))]
+    for b0 in range(0, tri["n_blocks"], _SEG):
+        bn = min(_SEG, tri["n_blocks"] - b0)
+
+        def box_test(a6, carries=carries):
+            acc = None
+            for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
+                tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
+                hit = tmax >= tmin
+                if not neg_t:
+                    bn_, bd_ = carries[k][0], carries[k][1]
+                    hit = hit & (tmax >= _EPS)
+                    hit = hit & (jnp.maximum(tmin, 0.0) * bd_
+                                 <= bn_ * _PRUNE_SLACK)
+                acc = hit if acc is None else (acc | hit)
+            return acc
+
+        _flag_prepass(tri, box_test, b0, bn)
+        cnt = _take_list(tri, b0, bn)
+        flat = []
+        for c in carries:
+            flat.extend(c)
+        flat = list(jax.lax.fori_loop(0, cnt, scan, tuple(flat)))
+        carries = [tuple(flat[k * nvar:(k + 1) * nvar])
+                   for k in range(len(rays))]
+    return carries
 
 
 def _pre_tri_state(ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
@@ -605,11 +684,13 @@ def _trace_rays_shared(tri, rays, scn_const, neg_t: bool):
 
 
 def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
-    """Shared blocked occlusion scan: ONE flag prepass computes the UNION
-    take-list over all (sample, light) shadow bundles - each block's six
-    AABB scalars are read once and slab-tested against every ray - and
-    ONE scan walks the union list, sharing each block's DMA and 9 scalar
-    row reads across all rays (VERDICT round 2 task 7).
+    """Shared blocked occlusion scan: per SEGMENT, one flag prepass
+    computes the UNION take-list over all (sample, light) shadow
+    bundles - each block's six AABB scalars are read once and
+    slab-tested against every ray - and one scan walks the union list,
+    sharing each block's DMA and 9 scalar row reads across all rays
+    (VERDICT round 2 task 7).  Rays a segment occludes drop out of the
+    next segment's union (gates re-derive from the running occs).
 
     ``relevants[k]`` masks lanes whose occlusion cannot change the image
     out of the prepass: sky and facing-ratio hits ignore the illumination
@@ -625,26 +706,6 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
     list_s = tri["list"]
     one = np.float32(1.0)
     invs = [(one / dx, one / dy, one / dz) for _, (dx, dy, dz), _tl in rays]
-    gates = []
-    for k in range(len(rays)):
-        g = occs[k] == 0
-        if relevants[k] is not None:
-            g = g & relevants[k]
-        gates.append(g)
-
-    def box_test(a6):
-        acc = None
-        for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
-            tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
-            hit = tmax >= tmin
-            if not neg_t:
-                hit = hit & (tmax >= _EPS) & (tmin <= tl * _PRUNE_SLACK)
-            hit = hit & gates[k]
-            acc = hit if acc is None else (acc | hit)
-        return acc
-
-    _flag_prepass(tri, box_test)
-    cnt = _take_list(tri)
 
     def scan(i, occs):
         occs = list(occs)
@@ -667,7 +728,32 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
 
         return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, tuple(occs))
 
-    return list(jax.lax.fori_loop(0, cnt, scan, tuple(occs)))
+    for b0 in range(0, tri["n_blocks"], _SEG):
+        bn = min(_SEG, tri["n_blocks"] - b0)
+        # gates re-derive from the CURRENT occs: rays occluded by an
+        # earlier segment drop out of this segment's union entirely
+        gates = []
+        for k in range(len(rays)):
+            g = occs[k] == 0
+            if relevants[k] is not None:
+                g = g & relevants[k]
+            gates.append(g)
+
+        def box_test(a6, gates=gates):
+            acc = None
+            for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
+                tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
+                hit = tmax >= tmin
+                if not neg_t:
+                    hit = hit & (tmax >= _EPS) & (tmin <= tl * _PRUNE_SLACK)
+                hit = hit & gates[k]
+                acc = hit if acc is None else (acc | hit)
+            return acc
+
+        _flag_prepass(tri, box_test, b0, bn)
+        cnt = _take_list(tri, b0, bn)
+        occs = list(jax.lax.fori_loop(0, cnt, scan, tuple(occs)))
+    return occs
 
 
 def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool,
@@ -799,13 +885,15 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                  carry_t: bool = False):
     if n_blocks:
         aabb_ref, aabb_m, tbl_any, out_ref, scratch, sem, flag_mat, \
-            flags_v, flags_s, list_s, fsem, mflags_v, mflags_s = refs
+            flags_v, flags_s, list_s, fsem, mflags_v, mflags_s, \
+            cnt_s = refs
         tri = {"mode": "blocked", "nt": nt, "aabb": aabb_ref,
                "aabb_m": aabb_m, "tbl": tbl_any, "scratch": scratch,
                "sem": sem, "n_blocks": n_blocks,
                "n_macros": n_blocks // _MACRO, "flag_mat": flag_mat,
                "flags_v": flags_v, "flags_s": flags_s, "list": list_s,
-               "fsem": fsem, "mflags_v": mflags_v, "mflags_s": mflags_s}
+               "fsem": fsem, "mflags_v": mflags_v, "mflags_s": mflags_s,
+               "cnt": cnt_s}
     else:
         tbl_ref, out_ref = refs
         tri = {"mode": "smem", "nt": nt, "tbl": tbl_ref}
@@ -1253,7 +1341,8 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
                           pltpu.SMEM((1, n_blocks + 1), jnp.int32),
                           pltpu.SemaphoreType.DMA,
                           pltpu.VMEM((nm_pad, 1), jnp.int32),
-                          pltpu.SMEM((nm_pad, 1), jnp.int32)]
+                          pltpu.SMEM((nm_pad, 1), jnp.int32),
+                          pltpu.SMEM((1, 1), jnp.int32)]
         ntp = tblT.shape[1]
     else:
         n_blocks = 0

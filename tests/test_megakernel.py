@@ -202,6 +202,46 @@ def test_megakernel_blocked_macro_path():
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
+def test_megakernel_blocked_segmented_scan():
+    """Meshes with more than _SEG blocks scan in SEGMENTS, re-running
+    the flag prepass between segments with the t/occ carries the
+    previous segments established (near-to-far macro order makes the
+    re-prune effective; conservative tests keep it exact).  Shrink the
+    block/macro/segment constants so an interpret-sized torus spans 4
+    segments, and pin equality against the XLA pipeline on a window
+    that sees the mesh (both spp=2 - the grouped-multi path - and
+    spp=%d via sample_group_blocked's union take-lists).""" % (
+        M._SPP_GROUP,)
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
+    from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
+    scn = prep_scene(Scene(
+        sphere_centers=np.zeros((0, 3), np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=torus_mesh(center=(17.959, 4.252, 10.25),
+                             n_major=10, n_minor=6),
+        lights=np.array([[10, 4, 10, 200]], np.float32),
+    ))
+    key = make_key(29)
+    kw = dict(row_offset=150, rows=8)
+    prev = M._TRI_BLOCK, M._MACRO, M._SEG
+    M._TRI_BLOCK, M._MACRO, M._SEG = 8, 2, 4   # 16 blocks -> 4 segments
+    try:
+        assert -(-120 // M._TRI_BLOCK) > M._SEG   # multi-segment engaged
+        a = ref_film(key, scn, 40, 158, 2, **kw)
+        b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                         quirks=DEFAULT, interpret=True,
+                                         force_blocked=True, **kw))
+        g = np.asarray(M.film_super_mega(key, scn, 40, 158, M._SPP_GROUP,
+                                         quirks=DEFAULT, interpret=True,
+                                         force_blocked=True, **kw))
+        ag = ref_film(key, scn, 40, 158, M._SPP_GROUP, **kw)
+    finally:
+        M._TRI_BLOCK, M._MACRO, M._SEG = prev
+    assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    np.testing.assert_allclose(g, ag, rtol=0, atol=ATOL)
+
+
 def test_tri_blocks_structure():
     """Morton blocks: a permutation of the triangle table with original
     indices in row 12, conservative AABBs containing every member

@@ -1,18 +1,27 @@
-"""Ablate the take-list blocked scan to find where 170 ms/frame goes.
+"""Ablate the take-list blocked scan to find where the frame time goes.
 
-Variants (monkeypatched, WRONG images - timing only), 20k torus 256^2 x 4:
+Variants (monkeypatched, WRONG images - timing only), torus at SIZE^2 x 4,
+amortized over FRAMES in-jit calls (per-call dispatch ~27 ms otherwise
+drowns the decomposition):
   full        shipped pipeline (baseline)
   zeroflags   _block_flags replaced by "write zero flags": no slab tests,
               no mat stores; build+scan run on empty flags
-              -> isolates the prepass cost
+              -> prepass cost = full - zeroflags - scan
   noscan      _take_list returns 0: prepass+flag DMA run, scan loop empty
-              -> isolates build+scan cost
+              -> scan cost = full - noscan
+  buildonly   zeroflags AND empty scan -> take-list build + DMA + loop
+              skeleton alone
   noslab      slab replaced by a constant compare (no aabb SMEM reads)
               -> isolates the SMEM-scalar->vector broadcast cost
+
+Env: PT_DIAG_MESH="256,128" torus density (default 144,72 = 20k),
+PT_DIAG_SIZE (default 512 - content in the fixed camera frame; 256 is a
+pure-sky window), PT_DIAG_FRAMES (default 4).
 """
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -25,7 +34,11 @@ from opencl_montecarlo_path_tracing_tpu.core.rng import make_key
 from opencl_montecarlo_path_tracing_tpu.ops import pallas_super as M
 from tools.diag_blocked import big_scene
 
-SIZE, SPP = 256, 4
+SIZE = int(os.environ.get("PT_DIAG_SIZE", "512"))
+SPP = 4
+FRAMES = int(os.environ.get("PT_DIAG_FRAMES", "4"))
+_MESH = tuple(int(x) for x in
+              os.environ.get("PT_DIAG_MESH", "144,72").split(","))
 
 
 def bench(fn, key, repeats=3, tag=""):
@@ -39,69 +52,67 @@ def bench(fn, key, repeats=3, tag=""):
         times.append(time.perf_counter() - t0)
     print(f"{tag}: first {t_first:.0f} s, best {min(times) * 1e3:.1f} ms, "
           f"mean {film.mean():.4f}", flush=True)
+    return min(times), film
 
 
-orig_flags = M._block_flags
+orig_pre = M._flag_prepass
 orig_take = M._take_list
 
 
-def zeroflags(tri, ox, oy, oz, dx, dy, dz, neg_t, occ_tl, carry):
-    flags_v = tri["flags_v"]
-    flags_s = tri["flags_s"]
-    fsem = tri["fsem"]
-    nb_pad = flags_v.shape[0]
-    flags_v[pl.ds(0, nb_pad), :] = jnp.zeros((nb_pad, 1), jnp.int32)
-    cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
-    cp.start()
-    cp.wait()
+def zeroflags(tri, box_test, b0=0, bn=None):
+    """No slab tests, no mat stores: zero flags for the whole padded
+    array + one DMA (macro flags too, so the gated build sees zeros)."""
+    for v, s in ((tri["flags_v"], tri["flags_s"]),
+                 (tri["mflags_v"], tri["mflags_s"])):
+        pad = v.shape[0]
+        v[pl.ds(0, pad), :] = jnp.zeros((pad, 1), jnp.int32)
+        cp = pltpu.make_async_copy(v, s, tri["fsem"])
+        cp.start()
+        cp.wait()
 
 
-def noscan(tri):
+def noscan(tri, b0=0, bn=None):
     return jnp.int32(0)
 
 
-def noslab(tri, ox, oy, oz, dx, dy, dz, neg_t, occ_tl, carry):
-    """Same structure as _block_flags but the per-block test reads no
-    SMEM scalars (constant threshold on ray data)."""
-    mat = tri["flag_mat"]
-    flags_v = tri["flags_v"]
-    flags_s = tri["flags_s"]
-    fsem = tri["fsem"]
-    nb = tri["n_blocks"]
-    for g in range(0, nb, 128):
-        gn = min(128, nb - g)
-        if gn < 128:
-            mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
-        for l in range(gn):
-            thr = np.float32(1e4 + g + l)   # unreachable -> flags all 0
-            hit = (ox + oy + oz + dx + dy + dz) > thr
-            mat[pl.ds(l, 1), :] = jnp.max(hit.astype(jnp.int32), axis=0,
-                                          keepdims=True)
-        flags_v[pl.ds(g, 128), :] = jnp.max(mat[...], axis=1, keepdims=True)
-    cp = pltpu.make_async_copy(flags_v, flags_s, fsem)
-    cp.start()
-    cp.wait()
+def noslab(tri, box_test, b0=0, bn=None):
+    """Real prepass structure, but box_test reads constant AABB scalars
+    instead of SMEM - isolates the SMEM-scalar->vector broadcast cost.
+    The constant box is unhittable, so flags (and scans) are empty."""
+    a6c = [np.float32(v) for v in (2e9, 2e9, 2e9, 1e9, 1e9, 1e9)]
+    orig_pre(tri, lambda a6: box_test(a6c), b0, bn)
 
 
 def main():
     key = make_key(7)
-    scn = big_scene()
-    paths = SIZE * SIZE * SPP
+    scn = big_scene(*_MESH)
+    paths = SIZE * SIZE * SPP * FRAMES
 
     def run(tag):
-        fn = jax.jit(lambda k: M.film_super_mega(k, scn, SIZE, SIZE, SPP))
-        bench(fn, key, tag=tag)
+        def many(k):
+            def body(i, acc):
+                kk = (k[0] + i.astype(jnp.uint32), k[1])
+                return acc + M.film_super_mega(kk, scn, SIZE, SIZE, SPP)
+            return jax.lax.fori_loop(
+                0, FRAMES, body,
+                jnp.zeros((SIZE, SIZE, 3), jnp.float32))
+
+        fn = jax.jit(many)
+        best, _ = bench(fn, key, tag=tag)
+        print(f"  -> {best * 1e3 / FRAMES:.1f} ms/frame, "
+              f"{paths / best / 1e6:.1f} Mpaths/s", flush=True)
 
     run("full     ")
-    M._block_flags = zeroflags
+    M._flag_prepass = zeroflags
     run("zeroflags")
-    M._block_flags = orig_flags
     M._take_list = noscan
+    run("buildonly")
+    M._flag_prepass = orig_pre
     run("noscan   ")
     M._take_list = orig_take
-    M._block_flags = noslab
+    M._flag_prepass = noslab
     run("noslab   ")
-    M._block_flags = orig_flags
+    M._flag_prepass = orig_pre
 
 
 if __name__ == "__main__":
