@@ -75,6 +75,18 @@ def noscan(tri, b0=0, bn=None):
     return jnp.int32(0)
 
 
+def scanall(tri, b0=0, bn=None):
+    """Identity take-list over the whole range: scan EVERY block.
+    (frame_time - noscan) / total_blocks = per-block DMA+row-scan cost."""
+    list_s = tri["list"]
+    nb = tri["n_blocks"]
+    if bn is None:
+        bn = nb - b0
+    for b in range(b0, b0 + bn):
+        list_s[0, b - b0] = b
+    return jnp.int32(bn)
+
+
 def noslab(tri, box_test, b0=0, bn=None):
     """Real prepass structure, but box_test reads constant AABB scalars
     instead of SMEM - isolates the SMEM-scalar->vector broadcast cost.
@@ -88,7 +100,12 @@ def main():
     scn = big_scene(*_MESH)
     paths = SIZE * SIZE * SPP * FRAMES
 
+    only = os.environ.get("PT_DIAG_ONLY")  # comma-separated tag prefixes
+
     def run(tag):
+        if only and not any(tag.startswith(p) for p in only.split(",")):
+            return
+
         def many(k):
             def body(i, acc):
                 kk = (k[0] + i.astype(jnp.uint32), k[1])
@@ -109,6 +126,8 @@ def main():
     run("buildonly")
     M._flag_prepass = orig_pre
     run("noscan   ")
+    M._take_list = scanall
+    run("scanall  ")
     M._take_list = orig_take
     M._flag_prepass = noslab
     run("noslab   ")
