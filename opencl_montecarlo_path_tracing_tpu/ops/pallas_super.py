@@ -49,8 +49,16 @@ _SPP_GROUP = 4             # spp samples sharing each triangle-table pass
                            # (measured 1024^2x1024: G=2 286, G=4 290,
                            # G=8 263 Mpaths/s - vreg pressure wins at 8)
 _TRI_BLOCK = 128           # triangles per Morton block (one DMA chunk)
-_MACRO = 8                 # blocks per macro-AABB (two-level prepass);
-                           # 8 divides the 128-row flag group exactly
+_MACRO = 8                 # blocks per macro group: host-side Morton
+                           # blocks are ordered near-to-far in groups of
+                           # _MACRO (spatially compact under the curve)
+_IGRP = 8                  # blocks per INTERVAL-GATE lane column: the
+                           # (6*_IGRP, ng) AABB table puts block g*8+u at
+                           # sublane u, lane g, so one vector op interval-
+                           # tests 8*128 = 1024 blocks and the per-group
+                           # flags pack into an 8-bit SMEM mask; 8 = the
+                           # f32 sublane tile (tests shrink it to drive
+                           # the gate with interpret-sized meshes)
 _SEG = 1024                # blocks per scan SEGMENT (131k triangles).
                            # Multi-segment scans re-run the flag prepass
                            # between near-to-far segments with the t/occ
@@ -254,52 +262,152 @@ def _slab(aabb6, ox, oy, oz, inv_dx, inv_dy, inv_dz):
 # proof "hit t >= box entry t" holds in exact arithmetic - compare with
 # relative headroom so rounding can only keep a block, never drop one.
 _PRUNE_SLACK = np.float32(1.0 + 1e-3)
+_BIGF = np.float32(3e38)
 
 
-def _flag_prepass(tri, box_test, b0=0, bn=None):
-    """Two-level vector-only take-flag prepass with NO per-block
-    cross-lane reduction (each costs ~3 us of vector->scalar latency on
-    v5e - docs/PERF.md round 3), over the block range [b0, b0+bn) (one
-    scan segment; defaults to every block).  ``box_test(a6) ->
-    (SUB, 128) bool`` runs the conservative slab+prune predicate
-    (unioned over all the trace's bundles) against one AABB's six SMEM
-    scalars.
+def _interval_union_flags(tri, bundles, neg_t: bool):
+    """Vector-only interval-frustum gate over ALL blocks.
 
-    Level 1 flags MACRO boxes (each enclosing _MACRO padded block
-    AABBs, so a macro miss implies every member block misses) and moves
-    the flags to SMEM with one async copy.  Level 2 runs the per-block
-    tests only inside ``pl.when(macro taken)`` - the scalar SMEM read
-    costs no sync, so the dominant linear-in-scene cost (n_blocks slab
-    tests per bundle per trace, measured ~52 ps/path/block: the ENTIRE
-    1k->65k scaling loss, docs/PERF.md) drops to n_macros +
-    _MACRO x taken_macros.  Block rows land in the (128, 128) lane
-    matrix as before; ONE cross-lane reduction per 128-block group
-    yields the (128, 1) flag column for the take-list build.
+    Each bundle's rays reduce to conservative per-component origin /
+    direction / t intervals with keepdims min/max (pure vector ops - no
+    vector->scalar sync), and interval slab tests run against the
+    (6*_IGRP, ng) lane-major block-AABB table: _IGRP blocks per lane
+    column, so one vector op tests _IGRP*128 blocks.  A sign-mixed
+    direction component (its reciprocal interval is unbounded)
+    contributes no constraint on that axis.  Outward relative slack on
+    the entry/exit bounds means f32 rounding can only KEEP a block the
+    exact per-lane test might take, never drop one - the gate is a
+    strict superset of the per-lane any-lane union, so gating the exact
+    tests and the take-list walk behind it never changes the image
+    (host-measured superset factor: 1.3x at 20k triangles, 2.3x at 65k,
+    zero misses - tools/diag_interval_host.py).
 
-    Segment ranges are _SEG-aligned (b0 multiple of _SEG, bn a multiple
-    of _MACRO), so every VMEM write below starts on a sublane tile
-    boundary and rounds its length up to 8 inside the padded arrays
-    (rows past the range are zeros from the cleared mat).  The flag
-    DMAs copy the FULL padded arrays: Mosaic cannot slice a (N, 1)
-    array's lane dim, rows outside the segment are never read, and the
-    copies are <= 2 KB."""
+    The per-group block masks (bit u = block g*_IGRP+u) land in
+    iflags_s[0, g] with one DMA.  This replaces the round-3 macro-AABB
+    level, whose per-block SMEM-scalar->vector broadcasts were the
+    dominant linear-in-scene cost (~15 ms/frame at 65k triangles:
+    tools/diag_blocked_parts.py noslab ablation, docs/PERF.md)."""
+    aiv = tri["aabb_iv"]
+    ng = aiv.shape[1]
+    comp = [aiv[pl.ds(c * _IGRP, _IGRP), :] for c in range(6)]
+    zero = np.float32(0.0)
+    acc = None
+    for b in bundles:
+        gate = b["gate"]
+
+        def lo_(v, gate=gate):
+            if gate is not None:
+                v = jnp.where(gate, v, _BIGF)
+            return jnp.min(v, axis=(0, 1), keepdims=True)
+
+        def hi_(v, gate=gate):
+            if gate is not None:
+                v = jnp.where(gate, v, -_BIGF)
+            return jnp.max(v, axis=(0, 1), keepdims=True)
+
+        olo = [lo_(v) for v in b["o"]]
+        ohi = [hi_(v) for v in b["o"]]
+        dlo = [lo_(v) for v in b["d"]]
+        dhi = [hi_(v) for v in b["d"]]
+        ent = jnp.full((_IGRP, ng), -_BIGF, jnp.float32)
+        exi = jnp.full((_IGRP, ng), _BIGF, jnp.float32)
+        for c in range(3):
+            lo_p, hi_p = comp[c], comp[c + 3]
+            # reciprocal interval only valid when the direction keeps
+            # one strict sign across the bundle (NaN/inf products from
+            # the mixed case are discarded by the select)
+            mixed = dlo[c] * dhi[c] <= zero              # (1, 1)
+            ilo = np.float32(1.0) / dhi[c]
+            ihi = np.float32(1.0) / dlo[c]
+            alo, ahi = lo_p - ohi[c], lo_p - olo[c]
+            blo, bhi = hi_p - ohi[c], hi_p - olo[c]
+            t0lo = jnp.minimum(jnp.minimum(alo * ilo, alo * ihi),
+                               jnp.minimum(ahi * ilo, ahi * ihi))
+            t0hi = jnp.maximum(jnp.maximum(alo * ilo, alo * ihi),
+                               jnp.maximum(ahi * ilo, ahi * ihi))
+            t1lo = jnp.minimum(jnp.minimum(blo * ilo, blo * ihi),
+                               jnp.minimum(bhi * ilo, bhi * ihi))
+            t1hi = jnp.maximum(jnp.maximum(blo * ilo, blo * ihi),
+                               jnp.maximum(bhi * ilo, bhi * ihi))
+            near = jnp.minimum(t0lo, t1lo)
+            far = jnp.maximum(t0hi, t1hi)
+            ent = jnp.maximum(ent, jnp.where(mixed, -_BIGF, near))
+            exi = jnp.minimum(exi, jnp.where(mixed, _BIGF, far))
+        ent = ent - (jnp.abs(ent) * np.float32(1e-3) + np.float32(1e-3))
+        exi = exi + (jnp.abs(exi) * np.float32(1e-3) + np.float32(1e-3))
+        hit = exi >= ent
+        if not neg_t:
+            hit = hit & (exi >= np.float32(0.5) * _EPS)
+            if b["thi"] is not None:
+                th = hi_(b["thi"])
+                hit = hit & (jnp.maximum(ent, zero) <= th * _PRUNE_SLACK)
+        if gate is not None:
+            some = jnp.max(gate.astype(jnp.int32), axis=(0, 1),
+                           keepdims=True) > 0
+            hit = hit & some
+        acc = hit if acc is None else acc | hit
+    flags = acc.astype(jnp.int32)
+    sh = jax.lax.broadcasted_iota(jnp.int32, (_IGRP, ng), 0)
+    bits = jnp.sum(flags << sh, axis=0, keepdims=True)
+    iflags_v = tri["iflags_v"]
+    iflags_v[...] = jnp.broadcast_to(bits, (_IGRP, ng))
+    cp = pltpu.make_async_copy(iflags_v, tri["iflags_s"], tri["fsem"])
+    cp.start()
+    cp.wait()
+
+
+def _group_chunks(b0: int, bn: int):
+    """Static (group, u0, u1) spans covering blocks [b0, b0+bn) chunked
+    at _IGRP-group boundaries (segment starts need not be aligned)."""
+    out = []
+    b = b0
+    while b < b0 + bn:
+        grp = b // _IGRP
+        u0 = b - grp * _IGRP
+        u1 = min(_IGRP, u0 + (b0 + bn - b))
+        out.append((grp, u0, u1))
+        b = grp * _IGRP + u1
+    return out
+
+
+def _flag_prepass(tri, box_test, bundles, neg_t: bool, b0=0, bn=None):
+    """Interval-gated take-flag prepass over the block range [b0, b0+bn)
+    (one scan segment; defaults to every block).  ``box_test(a6) ->
+    (SUB, 128) bool`` runs the conservative per-lane slab+prune
+    predicate (unioned over all the trace's bundles) against one AABB's
+    six SMEM scalars; ``bundles`` carries the same bundles' raw
+    origin/direction/t-bound vectors for the interval gate.
+
+    The vector interval pass (_interval_union_flags) flags candidate
+    blocks for ALL groups in a handful of vector ops; the exact per-lane
+    tests - each costs ~0.8 us of SMEM-scalar->vector broadcasts - then
+    run only inside ``pl.when(interval bit set)``, so the dominant
+    linear-in-scene cost (n_blocks slab tests per bundle per trace,
+    measured ~52 ps/path/block: the ENTIRE 1k->65k scaling loss before
+    round 3's macro level, then still ~15 ms/frame at 65k with it)
+    drops to ~taken-superset tests (~13/tile at 65k).  Exact-test rows
+    land in the (128, 128) lane matrix; ONE cross-lane reduction per
+    128-block group yields the (128, 1) flag column for the take-list
+    build - so the final take-list stays the EXACT any-lane union (the
+    interval superset would inflate block scans 2.3x at 65k).
+
+    The flag DMAs copy the FULL padded arrays: Mosaic cannot slice a
+    (N, 1) array's lane dim, rows outside the segment are never read,
+    and the copies are <= 2 KB."""
     aabb_ref = tri["aabb"]
-    aabb_m = tri["aabb_m"]
     mat = tri["flag_mat"]
     flags_v = tri["flags_v"]
     flags_s = tri["flags_s"]
-    mflags_v = tri["mflags_v"]
-    mflags_s = tri["mflags_s"]
     fsem = tri["fsem"]
     nb = tri["n_blocks"]
-    nm = tri["n_macros"]
     if bn is None:
         bn = nb - b0
 
-    if nm <= 2:
-        # <= 16 blocks: a macro level cannot cull enough to pay for its
-        # extra flag DMA + sync - run the flat single-level prepass
-        # (single segment: b0 == 0, bn == nb)
+    if tri["flat"]:
+        # <= 2 interval groups: the gate cannot cull enough to pay for
+        # its flag DMA + sync - run the flat single-level prepass
+        # (flat meshes always scan in a single segment)
+        assert b0 == 0 and bn == nb
         for g in range(0, nb, 128):
             gn = min(128, nb - g)
             if gn < 128:
@@ -315,40 +423,29 @@ def _flag_prepass(tri, box_test, b0=0, bn=None):
         cp.wait()
         return
 
-    m0, mn = b0 // _MACRO, bn // _MACRO
-    for g in range(m0, m0 + mn, 128):
-        gn = min(128, m0 + mn - g)
-        if gn < 128:
-            mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
-        for l in range(gn):
-            a6 = [aabb_m[g + l, j] for j in range(6)]
-            mat[pl.ds(l, 1), :] = jnp.max(box_test(a6).astype(jnp.int32),
-                                          axis=0, keepdims=True)
-        col = jnp.max(mat[...], axis=1, keepdims=True)
-        wn = min(-(-gn // 8) * 8, mflags_v.shape[0] - g)
-        mflags_v[pl.ds(g, wn), :] = col[:wn]
-    # full-array flag copies: Mosaic cannot DMA-slice a (N, 1) array
-    # (lane extent 1 vs 128 tiling); rows outside [m0, m0+mn) are stale
-    # and never read, and the whole array is <= 2 KB
-    cp = pltpu.make_async_copy(mflags_v, mflags_s, fsem)
-    cp.start()
-    cp.wait()
-
+    _interval_union_flags(tri, bundles, neg_t)
+    iflags_s = tri["iflags_s"]
     for g in range(b0, b0 + bn, 128):
         # gated writes may skip rows: clear the whole group first
         mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
         gn = min(128, b0 + bn - g)
-        for mloc in range(0, gn, _MACRO):
-            mm = (g + mloc) // _MACRO
+        for grp, u0, u1 in _group_chunks(g, gn):
+            mask = iflags_s[0, grp]
+            sel = (1 << u1) - (1 << u0)
 
-            def _blocks_of_macro(mloc=mloc):
-                for u in range(_MACRO):
-                    a6 = [aabb_ref[g + mloc + u, j] for j in range(6)]
-                    mat[pl.ds(mloc + u, 1), :] = jnp.max(
-                        box_test(a6).astype(jnp.int32), axis=0,
-                        keepdims=True)
+            def _blocks(grp=grp, u0=u0, u1=u1, mask=mask):
+                for u in range(u0, u1):
+                    bb = grp * _IGRP + u
 
-            pl.when(mflags_s[mm, 0] == 1)(_blocks_of_macro)
+                    def _one(bb=bb):
+                        a6 = [aabb_ref[bb, j] for j in range(6)]
+                        mat[pl.ds(bb - g, 1), :] = jnp.max(
+                            box_test(a6).astype(jnp.int32), axis=0,
+                            keepdims=True)
+
+                    pl.when(((mask >> u) & 1) == 1)(_one)
+
+            pl.when((mask & sel) != 0)(_blocks)
         col = jnp.max(mat[...], axis=1, keepdims=True)
         wn = min(-(-gn // 8) * 8, flags_v.shape[0] - g)
         flags_v[pl.ds(g, wn), :] = col[:wn]
@@ -361,9 +458,10 @@ def _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl, carry,
                  b0=0, bn=None):
     """Single-bundle take flags (closest-hit when ``occ_tl is None``,
     else occlusion with running occ mask in ``carry``): the conservative
-    slab + t-prune predicate fed through the two-level _flag_prepass.
-    ``carry`` is the CURRENT running state, so per-segment calls re-prune
-    with the t/occ the previous segments established."""
+    slab + t-prune predicate fed through the interval-gated
+    _flag_prepass.  ``carry`` is the CURRENT running state, so
+    per-segment calls re-prune with the t/occ the previous segments
+    established."""
     one = np.float32(1.0)
     inv_dx, inv_dy, inv_dz = one / dx, one / dy, one / dz
 
@@ -382,46 +480,57 @@ def _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl, carry,
             hit = hit & (carry == 0)
         return hit
 
-    _flag_prepass(tri, box_test, b0, bn)
+    if occ_tl is None:
+        thi = None if neg_t else carry[0] / carry[1]
+        gate = None
+    else:
+        thi = None if neg_t else occ_tl
+        gate = carry == 0
+    bundle = {"o": (ox, oy, oz), "d": (dx, dy, dz), "thi": thi,
+              "gate": gate}
+    _flag_prepass(tri, box_test, [bundle], neg_t, b0, bn)
 
 
 def _take_list(tri, b0=0, bn=None):
     """SMEM take-list build over the block range [b0, b0+bn) from the
-    flag rows.  Flat meshes (<= 2 macros) use the branch-free scalar
-    form: every block id is written at the current count and the count
-    advances only on taken blocks, so dead writes are overwritten by the
-    next taken id (positions >= cnt are never read).  Two-level meshes
-    iterate MACROS and visit member blocks only under ``pl.when(macro
-    taken)`` with the count carried in an SMEM cell - the scalar build
-    was the dominant linear-in-scene cost once the prepass went
-    hierarchical (n_blocks dependent scalar iterations per trace), and
-    the gate cuts it to n_macros checks + _MACRO x taken_macros
-    iterations.  Returns the int32 count."""
+    flag rows.  Flat meshes use the branch-free scalar form: every block
+    id is written at the current count and the count advances only on
+    taken blocks, so dead writes are overwritten by the next taken id
+    (positions >= cnt are never read).  Gated meshes visit each
+    _IGRP-group's blocks only under ``pl.when(interval mask hit)`` with
+    the count carried in an SMEM cell - the scalar build was the
+    dominant linear-in-scene cost before gating (n_blocks dependent
+    scalar iterations per trace), and the interval mask (a superset of
+    the exact flags, so no taken block is ever skipped) cuts it to
+    n_groups checks + _IGRP x taken_groups iterations.  Returns the
+    int32 count."""
     flags_s = tri["flags_s"]
     list_s = tri["list"]
     nb = tri["n_blocks"]
     if bn is None:
         bn = nb - b0
-    if tri["n_macros"] <= 2:
+    if tri["flat"]:
         cnt = jnp.int32(0)
         for b in range(b0, b0 + bn):   # straight-line scalar code: a
             list_s[0, cnt] = b         # fori here costs 1.1 us x blocks
             cnt = cnt + flags_s[b, 0]
         return cnt
-    mflags_s = tri["mflags_s"]
+    iflags_s = tri["iflags_s"]
     cnt_s = tri["cnt"]
     cnt_s[0, 0] = jnp.int32(0)
-    for m in range(b0 // _MACRO, (b0 + bn) // _MACRO):
+    for grp, u0, u1 in _group_chunks(b0, bn):
+        mask = iflags_s[0, grp]
+        sel = (1 << u1) - (1 << u0)
 
-        def _blocks_of_macro(m=m):
+        def _blocks(grp=grp, u0=u0, u1=u1):
             c = cnt_s[0, 0]
-            for u in range(_MACRO):
-                b = m * _MACRO + u
+            for u in range(u0, u1):
+                b = grp * _IGRP + u
                 list_s[0, c] = b
                 c = c + flags_s[b, 0]
             cnt_s[0, 0] = c
 
-        pl.when(mflags_s[m, 0] == 1)(_blocks_of_macro)
+        pl.when((mask & sel) != 0)(_blocks)
     return cnt_s[0, 0]
 
 
@@ -429,7 +538,7 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
                       carry, row_update):
     """Morton-blocked triangle scan, take-list form: a vector-only flag
     prepass (_block_flags) decides which 128-triangle blocks the bundle
-    can touch, a macro-gated scalar loop compacts them into an SMEM
+    can touch, an interval-gated scalar loop compacts them into an SMEM
     take-list, and a dynamic-trip fori DMAs + row-scans EXACTLY the
     taken blocks - the hot loop has no slab tests, no cross-lane
     reductions and no conds.  Meshes beyond _SEG blocks run in SEGMENTS
@@ -534,7 +643,11 @@ def _closest_blocked_multi(tri, rays, neg_t: bool, carries):
                 acc = hit if acc is None else (acc | hit)
             return acc
 
-        _flag_prepass(tri, box_test, b0, bn)
+        bundles = [{"o": o3, "d": d3,
+                    "thi": None if neg_t else carries[k][0] / carries[k][1],
+                    "gate": None}
+                   for k, (o3, d3) in enumerate(rays)]
+        _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
         flat = []
         for c in carries:
@@ -750,7 +863,10 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
                 acc = hit if acc is None else (acc | hit)
             return acc
 
-        _flag_prepass(tri, box_test, b0, bn)
+        bundles = [{"o": o3, "d": d3, "thi": None if neg_t else tl,
+                    "gate": gates[k]}
+                   for k, (o3, d3, tl) in enumerate(rays)]
+        _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
         occs = list(jax.lax.fori_loop(0, cnt, scan, tuple(occs)))
     return occs
@@ -884,15 +1000,15 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                  scn_const, neg_t: bool, nt: int, n_blocks: int = 0,
                  carry_t: bool = False):
     if n_blocks:
-        aabb_ref, aabb_m, tbl_any, out_ref, scratch, sem, flag_mat, \
-            flags_v, flags_s, list_s, fsem, mflags_v, mflags_s, \
+        aabb_ref, aabb_iv, tbl_any, out_ref, scratch, sem, flag_mat, \
+            flags_v, flags_s, list_s, fsem, iflags_v, iflags_s, \
             cnt_s = refs
         tri = {"mode": "blocked", "nt": nt, "aabb": aabb_ref,
-               "aabb_m": aabb_m, "tbl": tbl_any, "scratch": scratch,
+               "aabb_iv": aabb_iv, "tbl": tbl_any, "scratch": scratch,
                "sem": sem, "n_blocks": n_blocks,
-               "n_macros": n_blocks // _MACRO, "flag_mat": flag_mat,
+               "flat": n_blocks <= 2 * _IGRP, "flag_mat": flag_mat,
                "flags_v": flags_v, "flags_s": flags_s, "list": list_s,
-               "fsem": fsem, "mflags_v": mflags_v, "mflags_s": mflags_s,
+               "fsem": fsem, "iflags_v": iflags_v, "iflags_s": iflags_s,
                "cnt": cnt_s}
     else:
         tbl_ref, out_ref = refs
@@ -1255,6 +1371,27 @@ def _tri_blocks(scn):
     return tblT, aabbs, aabbs_m
 
 
+def _aabb_interval_rows(aabbs):
+    """Lane-major block-AABB table for the vector interval gate:
+    component c (0-2 lo.xyz, 3-5 hi.xyz) of block g*_IGRP+u lands at
+    [c*_IGRP + u, g], so one (_IGRP, ng) vector op tests _IGRP*128
+    blocks at once.  Lanes past the last group carry empty boxes (never
+    read: the scalar walks bound their group chunks by n_blocks)."""
+    nb = aabbs.shape[0]
+    ng = -(-nb // _IGRP)
+    ng_pad = -(-ng // 128) * 128
+    out = np.empty((6 * _IGRP, ng_pad), np.float32)
+    big = np.float32(3e38)
+    for c in range(6):
+        fill = big if c < 3 else -big
+        comp = np.full(ng * _IGRP, fill, np.float32)
+        comp[:nb] = aabbs[:, c]
+        rows = np.full((_IGRP, ng_pad), fill, np.float32)
+        rows[:, :ng] = comp.reshape(ng, _IGRP).T
+        out[c * _IGRP:(c + 1) * _IGRP] = rows
+    return out
+
+
 def _scene_const(scn):
     return {
         "square_k": tuple(float(v) for v in scn.square_k),
@@ -1321,18 +1458,18 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
     if blocked:
         tblT, aabbs, aabbs_m = _tri_blocks(scn)
         n_blocks = aabbs.shape[0]
-        n_macros = aabbs_m.shape[0]
-        tri_inputs = [jnp.asarray(aabbs), jnp.asarray(aabbs_m),
+        aabb_iv = _aabb_interval_rows(aabbs)
+        tri_inputs = [jnp.asarray(aabbs), jnp.asarray(aabb_iv),
                       jnp.asarray(tblT)]
         tri_specs = [
             pl.BlockSpec((n_blocks, 6), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_macros, 6), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(aabb_iv.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         nb_pad = -(-n_blocks // 128) * 128
-        nm_pad = -(-n_macros // 128) * 128
+        ng_pad = aabb_iv.shape[1]
         scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
                           pltpu.SemaphoreType.DMA,
                           pltpu.VMEM((128, 128), jnp.int32),
@@ -1340,8 +1477,8 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
                           pltpu.SMEM((nb_pad, 1), jnp.int32),
                           pltpu.SMEM((1, n_blocks + 1), jnp.int32),
                           pltpu.SemaphoreType.DMA,
-                          pltpu.VMEM((nm_pad, 1), jnp.int32),
-                          pltpu.SMEM((nm_pad, 1), jnp.int32),
+                          pltpu.VMEM((_IGRP, ng_pad), jnp.int32),
+                          pltpu.SMEM((_IGRP, ng_pad), jnp.int32),
                           pltpu.SMEM((1, 1), jnp.int32)]
         ntp = tblT.shape[1]
     else:

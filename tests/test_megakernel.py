@@ -168,14 +168,15 @@ def test_megakernel_blocked_reference_quirks():
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
-def test_megakernel_blocked_macro_path():
-    """Meshes with more than 2 macros take the TWO-LEVEL prepass (macro
-    AABB flags gating the per-block tests behind pl.when) - small scenes
-    fall back to the flat prepass, so shrink the block/macro constants
-    to drive the hierarchy with an interpret-sized mesh, and pin
-    equality against the XLA pipeline on a window that sees the mesh
-    (120-triangle torus placed on the (20, 150) view ray; the fixed-
-    frame top-left window is otherwise all sky)."""
+def test_megakernel_blocked_interval_gated_path():
+    """Meshes with more than 2 interval groups take the GATED prepass
+    (vector interval-frustum flags gating the exact per-block tests and
+    the take-list walk behind pl.when) - small scenes fall back to the
+    flat prepass, so shrink the block/group constants to drive the gate
+    with an interpret-sized mesh, and pin equality against the XLA
+    pipeline on a window that sees the mesh (120-triangle torus placed
+    on the (20, 150) view ray; the fixed-frame top-left window is
+    otherwise all sky)."""
     from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
     from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
     scn = prep_scene(Scene(
@@ -187,17 +188,17 @@ def test_megakernel_blocked_macro_path():
     ))
     key = make_key(23)
     kw = dict(row_offset=150, rows=8)
-    prev = M._TRI_BLOCK, M._MACRO
-    M._TRI_BLOCK, M._MACRO = 8, 2   # 120 tris -> 16 blocks, 8 macros
-    try:
+    prev = M._TRI_BLOCK, M._MACRO, M._IGRP
+    M._TRI_BLOCK, M._MACRO, M._IGRP = 8, 2, 2  # 120 tris -> 16 blocks,
+    try:                                       # 8 interval groups
         tblT, aabbs, aabbs_m = M._tri_blocks(scn)
-        assert aabbs_m.shape[0] > 2   # hierarchy actually engaged
+        assert aabbs.shape[0] > 2 * M._IGRP   # gate actually engaged
         a = ref_film(key, scn, 40, 158, 2, **kw)
         b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
                                          quirks=DEFAULT, interpret=True,
                                          force_blocked=True, **kw))
     finally:
-        M._TRI_BLOCK, M._MACRO = prev
+        M._TRI_BLOCK, M._MACRO, M._IGRP = prev
     assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
@@ -223,23 +224,28 @@ def test_megakernel_blocked_segmented_scan():
     ))
     key = make_key(29)
     kw = dict(row_offset=150, rows=8)
-    prev = M._TRI_BLOCK, M._MACRO, M._SEG
-    M._TRI_BLOCK, M._MACRO, M._SEG = 8, 2, 4   # 16 blocks -> 4 segments
-    try:
-        assert -(-120 // M._TRI_BLOCK) > M._SEG   # multi-segment engaged
-        a = ref_film(key, scn, 40, 158, 2, **kw)
-        b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
-                                         quirks=DEFAULT, interpret=True,
-                                         force_blocked=True, **kw))
-        g = np.asarray(M.film_super_mega(key, scn, 40, 158, M._SPP_GROUP,
-                                         quirks=DEFAULT, interpret=True,
-                                         force_blocked=True, **kw))
-        ag = ref_film(key, scn, 40, 158, M._SPP_GROUP, **kw)
-    finally:
-        M._TRI_BLOCK, M._MACRO, M._SEG = prev
-    assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
-    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
-    np.testing.assert_allclose(g, ag, rtol=0, atol=ATOL)
+    prev = M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP
+    # igrp=2: segment bounds (multiples of 4) stay group-aligned;
+    # igrp=3: segments START MID-GROUP, covering the chunked walks
+    for igrp in (2, 3):
+        M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = 8, 2, 4, igrp
+        try:
+            assert -(-120 // M._TRI_BLOCK) > M._SEG  # multi-segment
+            a = ref_film(key, scn, 40, 158, 2, **kw)
+            b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                             quirks=DEFAULT,
+                                             interpret=True,
+                                             force_blocked=True, **kw))
+            g = np.asarray(M.film_super_mega(key, scn, 40, 158,
+                                             M._SPP_GROUP, quirks=DEFAULT,
+                                             interpret=True,
+                                             force_blocked=True, **kw))
+            ag = ref_film(key, scn, 40, 158, M._SPP_GROUP, **kw)
+        finally:
+            M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = prev
+        assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
+        np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+        np.testing.assert_allclose(g, ag, rtol=0, atol=ATOL)
 
 
 def test_tri_blocks_structure():

@@ -59,16 +59,20 @@ orig_pre = M._flag_prepass
 orig_take = M._take_list
 
 
-def zeroflags(tri, box_test, b0=0, bn=None):
+def zeroflags(tri, box_test, bundles, neg_t, b0=0, bn=None):
     """No slab tests, no mat stores: zero flags for the whole padded
-    array + one DMA (macro flags too, so the gated build sees zeros)."""
-    for v, s in ((tri["flags_v"], tri["flags_s"]),
-                 (tri["mflags_v"], tri["mflags_s"])):
-        pad = v.shape[0]
-        v[pl.ds(0, pad), :] = jnp.zeros((pad, 1), jnp.int32)
-        cp = pltpu.make_async_copy(v, s, tri["fsem"])
-        cp.start()
-        cp.wait()
+    array + one DMA (interval masks too, so the gated build sees
+    zeros)."""
+    v, s = tri["flags_v"], tri["flags_s"]
+    v[pl.ds(0, v.shape[0]), :] = jnp.zeros(v.shape, jnp.int32)
+    cp = pltpu.make_async_copy(v, s, tri["fsem"])
+    cp.start()
+    cp.wait()
+    iv, is_ = tri["iflags_v"], tri["iflags_s"]
+    iv[...] = jnp.zeros(iv.shape, jnp.int32)
+    cp = pltpu.make_async_copy(iv, is_, tri["fsem"])
+    cp.start()
+    cp.wait()
 
 
 def noscan(tri, b0=0, bn=None):
@@ -87,12 +91,12 @@ def scanall(tri, b0=0, bn=None):
     return jnp.int32(bn)
 
 
-def noslab(tri, box_test, b0=0, bn=None):
+def noslab(tri, box_test, bundles, neg_t, b0=0, bn=None):
     """Real prepass structure, but box_test reads constant AABB scalars
     instead of SMEM - isolates the SMEM-scalar->vector broadcast cost.
     The constant box is unhittable, so flags (and scans) are empty."""
     a6c = [np.float32(v) for v in (2e9, 2e9, 2e9, 1e9, 1e9, 1e9)]
-    orig_pre(tri, lambda a6: box_test(a6c), b0, bn)
+    orig_pre(tri, lambda a6: box_test(a6c), bundles, neg_t, b0, bn)
 
 
 def main():
