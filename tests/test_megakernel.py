@@ -286,6 +286,53 @@ def test_tri_blocks_structure():
             assert (v <= aabbs[bi, 3:] + 1e-5).all()
 
 
+def test_aabb_interval_rows_layout():
+    """The lane-major interval table puts component c of block
+    g*_IGRP+u at [c*_IGRP + u, g]; lanes past the last group (and rows
+    past the last block) carry empty never-hit boxes."""
+    rng = np.random.default_rng(7)
+    for nb in (1, M._IGRP, M._IGRP + 3, 5 * M._IGRP - 1):
+        lo = rng.uniform(-10, 10, (nb, 3)).astype(np.float32)
+        hi = lo + rng.uniform(0.1, 5, (nb, 3)).astype(np.float32)
+        aabbs = np.concatenate([lo, hi], axis=1)
+        out = M._aabb_interval_rows(aabbs)
+        ng = -(-nb // M._IGRP)
+        assert out.shape[0] == 6 * M._IGRP
+        assert out.shape[1] % 128 == 0 and out.shape[1] >= ng
+        for b in range(nb):
+            g, u = b // M._IGRP, b % M._IGRP
+            for c in range(6):
+                assert out[c * M._IGRP + u, g] == aabbs[b, c]
+        # every padding slot is an inverted (never-hit) box
+        mask = np.zeros((M._IGRP, out.shape[1]), bool)
+        for b in range(nb):
+            mask[b % M._IGRP, b // M._IGRP] = True
+        for c in range(3):
+            plo = out[c * M._IGRP:(c + 1) * M._IGRP]
+            phi = out[(c + 3) * M._IGRP:(c + 4) * M._IGRP]
+            assert (plo[~mask] > phi[~mask]).all()
+
+
+def test_group_chunks_cover_range():
+    """_group_chunks partitions [b0, b0+bn) exactly into within-group
+    spans, in order, for aligned and mid-group segment starts."""
+    for igrp in (2, 3, 8):
+        prev = M._IGRP
+        M._IGRP = igrp
+        try:
+            for b0, bn in ((0, 1), (0, igrp), (1, igrp), (igrp - 1, 1),
+                           (igrp - 1, igrp + 2), (2 * igrp + 1, 3 * igrp),
+                           (0, 4 * igrp), (3, 2 * igrp - 1)):
+                chunks = M._group_chunks(b0, bn)
+                blocks = []
+                for grp, u0, u1 in chunks:
+                    assert 0 <= u0 < u1 <= igrp
+                    blocks.extend(grp * igrp + u for u in range(u0, u1))
+                assert blocks == list(range(b0, b0 + bn))
+        finally:
+            M._IGRP = prev
+
+
 # --- simple megakernel (ops/pallas_simple.py): multi-bounce mirrors ---
 
 from opencl_montecarlo_path_tracing_tpu.models.simple import render_simple  # noqa: E402
