@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -154,9 +155,47 @@ def bench_one(variant: str, scene, tag: str, size: int, spp: int,
     return out
 
 
+def wait_for_backend() -> bool:
+    """Probe backend init in a SUBPROCESS (a failed axon init poisons the
+    parent's backend cache) and retry through transient tunnel outages -
+    observed to last over an hour, with jax.devices() hanging minutes
+    before failing.  Bounded by BENCH_TUNNEL_WAIT_S (default 900; 0
+    disables).  Returns True once a probe succeeds; proceeds anyway on
+    budget exhaustion so the failure mode stays visible downstream."""
+    budget = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "900"))
+    if budget <= 0 or os.environ.get("JAX_PLATFORM_NAME") == "cpu":
+        return True   # forced-CPU runs (tests) have no tunnel to probe
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        left = budget - (time.monotonic() - t0)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=max(60.0, min(300.0, left)),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# backend up after {attempt} probes "
+                          f"({time.monotonic() - t0:.0f}s)", file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        left = budget - (time.monotonic() - t0)
+        if left <= 0:
+            print(f"# backend probe still failing after {budget:.0f}s - "
+                  "proceeding anyway", file=sys.stderr)
+            return False
+        print(f"# backend probe {attempt} failed; retrying "
+              f"({left:.0f}s left)", file=sys.stderr)
+        time.sleep(min(60.0, left))
+
+
 def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     variant = os.environ.get("BENCH_VARIANT", "all")
+    wait_for_backend()
 
     from opencl_montecarlo_path_tracing_tpu.scene.builtin import demo_scene
     scene, tag = demo_scene()

@@ -103,3 +103,13 @@ def test_recorded_bench_results_meet_floors():
     if floor is not None:
         assert parsed["value"] >= floor, (
             f"{path}: {variant} {parsed['value']} < floor {floor}")
+
+
+def test_wait_for_backend_skips_on_forced_cpu(monkeypatch):
+    """Forced-CPU runs (tests; BENCH_TUNNEL_WAIT_S=0) must not probe the
+    tunnel - the probe subprocess would try the real axon backend."""
+    monkeypatch.setenv("JAX_PLATFORM_NAME", "cpu")
+    assert bench.wait_for_backend() is True
+    monkeypatch.delenv("JAX_PLATFORM_NAME")
+    monkeypatch.setenv("BENCH_TUNNEL_WAIT_S", "0")
+    assert bench.wait_for_backend() is True
