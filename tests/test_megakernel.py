@@ -203,6 +203,42 @@ def test_megakernel_blocked_interval_gated_path():
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
 
 
+def test_megakernel_blocked_random_soup():
+    """Gated-path equality on RANDOM geometry: a soup of random
+    triangles (plus zero-area slivers and flat axis-aligned ones, whose
+    blocks have zero-extent AABBs) in the content band - adversarial
+    input for the interval arithmetic that the structured torus meshes
+    cannot produce."""
+    from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
+    rng = np.random.default_rng(31)
+    c = np.array([17.959, 4.252, 10.25], np.float32)
+    n = 96
+    base = (c + rng.uniform(-1.2, 1.2, (n, 1, 3))).astype(np.float32)
+    tris = base + rng.uniform(-0.35, 0.35, (n, 3, 3)).astype(np.float32)
+    tris[:8, 2] = tris[:8, 1]            # zero-area slivers (det == 0)
+    for ax in range(3):                  # flat axis-aligned triangles:
+        tris[8 + ax::12, :, ax] = tris[8 + ax::12, :1, ax]  # 0-extent AABB
+    scn = prep_scene(Scene(
+        sphere_centers=np.zeros((0, 3), np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=tris,
+        lights=np.array([[10, 4, 10, 200]], np.float32),
+    ))
+    key = make_key(37)
+    kw = dict(row_offset=150, rows=8)
+    prev = M._TRI_BLOCK, M._MACRO, M._IGRP
+    M._TRI_BLOCK, M._MACRO, M._IGRP = 8, 2, 2   # 96 tris -> 12 blocks,
+    try:                                        # 6 interval groups
+        a = ref_film(key, scn, 40, 158, 2, **kw)
+        b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                         quirks=DEFAULT, interpret=True,
+                                         force_blocked=True, **kw))
+    finally:
+        M._TRI_BLOCK, M._MACRO, M._IGRP = prev
+    assert np.asarray(a).var() > 1e-5   # soup visible, not vacuous
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
 def test_megakernel_blocked_segmented_scan():
     """Meshes with more than _SEG blocks scan in SEGMENTS, re-running
     the flag prepass between segments with the t/occ carries the
