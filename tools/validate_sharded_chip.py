@@ -48,6 +48,20 @@ def main():
     print(f"bidirectional sharded(mesh=1) vs unsharded on TPU: max|diff| "
           f"{d.max():.2e} (film mean {single.mean():.4f})", flush=True)
     assert d.max() <= 1e-5, d.max()
+
+    # large-mesh: the BLOCKED megakernel (interval-gated take-list scan,
+    # DMA scratch + SMEM take-lists) inside shard_map - a different
+    # kernel instantiation than the SMEM-resident scan above
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import (
+        large_mesh_scene)
+    big = large_mesh_scene()
+    spp_b = 4
+    single = np.asarray(render_super(key, big, w, h, spp=spp_b))
+    sharded = np.asarray(render_super_sharded(key, big, w, h, spp_b, mesh))
+    d = np.abs(single - sharded)
+    print(f"super sharded(mesh=1) BLOCKED 20k-tri vs unsharded: max|diff| "
+          f"{d.max():.2e} (film mean {single.mean():.4f})", flush=True)
+    assert d.max() <= 1e-5, d.max()
     print("sharded-on-chip validation OK", flush=True)
 
 
