@@ -265,7 +265,7 @@ _PRUNE_SLACK = np.float32(1.0 + 1e-3)
 _BIGF = np.float32(3e38)
 
 
-def _interval_union_flags(tri, bundles, neg_t: bool):
+def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
     """Vector-only interval-frustum gate over ALL blocks.
 
     Each bundle's rays reduce to conservative per-component origin /
@@ -286,10 +286,23 @@ def _interval_union_flags(tri, bundles, neg_t: bool):
     iflags_s[0, g] with one DMA.  This replaces the round-3 macro-AABB
     level, whose per-block SMEM-scalar->vector broadcasts were the
     dominant linear-in-scene cost (~15 ms/frame at 65k triangles:
-    tools/diag_blocked_parts.py noslab ablation, docs/PERF.md)."""
+    tools/diag_blocked_parts.py noslab ablation, docs/PERF.md).
+
+    STREAM mode (meshes past the exact-flag SMEM budget, tri["stream"])
+    gates one SEGMENT at a time: the gate reads only the segment's
+    group columns [g0, g0 + cols) of the VMEM AABB table and its bit
+    masks land in the segment-sized (_IGRP, cols) iflags buffers, so
+    SMEM use is constant in mesh size.  The default geometry keeps the
+    column slice 128-lane aligned (_SEG = _IGRP * 128)."""
     aiv = tri["aabb_iv"]
-    ng = aiv.shape[1]
-    comp = [aiv[pl.ds(c * _IGRP, _IGRP), :] for c in range(6)]
+    if tri.get("stream"):
+        ng = tri["iflags_v"].shape[1]
+        comp = [aiv[pl.ds(c * _IGRP, _IGRP), pl.ds(g0, ng)]
+                for c in range(6)]
+    else:
+        assert g0 == 0
+        ng = aiv.shape[1]
+        comp = [aiv[pl.ds(c * _IGRP, _IGRP), :] for c in range(6)]
     zero = np.float32(0.0)
     acc = None
     for b in bundles:
@@ -394,14 +407,27 @@ def _flag_prepass(tri, box_test, bundles, neg_t: bool, b0=0, bn=None):
     The flag DMAs copy the FULL padded arrays: Mosaic cannot slice a
     (N, 1) array's lane dim, rows outside the segment are never read,
     and the copies are <= 2 KB."""
+    nb = tri["n_blocks"]
+    if bn is None:
+        bn = nb - b0
+
+    if tri.get("stream"):
+        # STREAM tier (> _MAX_BLOCKED_TRIANGLES): the take flags ARE the
+        # interval-gate bits - the exact per-lane refinement's SMEM
+        # tables (block AABBs at 24 B/block + flag columns) scale with
+        # the mesh, so past the SMEM budget the conservative superset
+        # (measured 1.3x blocks at 20k, 2.3x at 65k) is scanned as-is.
+        # ``box_test`` is unused; correctness is unchanged (the gate is
+        # a superset of the exact union - culling never drops a block
+        # the sequential scan would hit).
+        _interval_union_flags(tri, bundles, neg_t, g0=b0 // _IGRP)
+        return
+
     aabb_ref = tri["aabb"]
     mat = tri["flag_mat"]
     flags_v = tri["flags_v"]
     flags_s = tri["flags_s"]
     fsem = tri["fsem"]
-    nb = tri["n_blocks"]
-    if bn is None:
-        bn = nb - b0
 
     if tri["flat"]:
         # <= 2 interval groups: the gate cannot cull enough to pay for
@@ -504,11 +530,33 @@ def _take_list(tri, b0=0, bn=None):
     the exact flags, so no taken block is ever skipped) cuts it to
     n_groups checks + _IGRP x taken_groups iterations.  Returns the
     int32 count."""
-    flags_s = tri["flags_s"]
     list_s = tri["list"]
     nb = tri["n_blocks"]
     if bn is None:
         bn = nb - b0
+    if tri.get("stream"):
+        # stream tier: walk the SEGMENT-LOCAL interval bit masks (column
+        # gl covers blocks b0 + gl*_IGRP ...); list ids stay absolute.
+        # bn is always a multiple of _IGRP (n_blocks pads to _MACRO and
+        # film_super_mega asserts _MACRO % _IGRP == 0), so no group
+        # straddles a segment boundary.
+        iflags_s = tri["iflags_s"]
+        cnt_s = tri["cnt"]
+        cnt_s[0, 0] = jnp.int32(0)
+        for gl in range(-(-bn // _IGRP)):
+            mask = iflags_s[0, gl]
+
+            def _blocks(gl=gl, mask=mask):
+                c = cnt_s[0, 0]
+                for u in range(_IGRP):
+                    b = b0 + gl * _IGRP + u
+                    list_s[0, c] = b
+                    c = c + ((mask >> u) & 1)
+                cnt_s[0, 0] = c
+
+            pl.when(mask != 0)(_blocks)
+        return cnt_s[0, 0]
+    flags_s = tri["flags_s"]
     if tri["flat"]:
         cnt = jnp.int32(0)
         for b in range(b0, b0 + bn):   # straight-line scalar code: a
@@ -998,8 +1046,16 @@ def _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti):
 
 def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                  scn_const, neg_t: bool, nt: int, n_blocks: int = 0,
-                 carry_t: bool = False):
-    if n_blocks:
+                 carry_t: bool = False, stream: bool = False):
+    if n_blocks and stream:
+        aabb_iv, tbl_any, out_ref, scratch, sem, iflags_v, iflags_s, \
+            fsem, list_s, cnt_s = refs
+        tri = {"mode": "blocked", "stream": True, "nt": nt,
+               "aabb_iv": aabb_iv, "tbl": tbl_any, "scratch": scratch,
+               "sem": sem, "n_blocks": n_blocks, "flat": False,
+               "iflags_v": iflags_v, "iflags_s": iflags_s, "fsem": fsem,
+               "list": list_s, "cnt": cnt_s}
+    elif n_blocks:
         aabb_ref, aabb_iv, tbl_any, out_ref, scratch, sem, flag_mat, \
             flags_v, flags_s, list_s, fsem, iflags_v, iflags_s, \
             cnt_s = refs
@@ -1405,9 +1461,14 @@ def _scene_const(scn):
 # SMEM is ~32KB total (measured; see ops/pallas_bpt.py): up to 512
 # triangle rows live directly in SMEM; larger meshes switch to the
 # Morton-blocked DMA-streamed scan (block AABBs in SMEM: 24 B/block), up
-# to the reference's own MAX_TRIANGLES (trianglegrid .c:15).
+# to the reference's own MAX_TRIANGLES (trianglegrid .c:15).  Past THAT
+# (the exact-flag tables - AABBs + flag columns - would blow the SMEM
+# budget) the STREAM tier takes over: take-lists come straight from the
+# segment-sliced interval gate, so SMEM use is constant in mesh size and
+# the cap is set by the HBM triangle table instead (64 B/triangle).
 _MAX_SMEM_TRIANGLES = 512
 _MAX_BLOCKED_TRIANGLES = 1 << 16
+_MAX_STREAM_TRIANGLES = 1 << 20
 
 
 def supported(scn, quirks: Quirks, illum_fn, tri_override,
@@ -1416,22 +1477,26 @@ def supported(scn, quirks: Quirks, illum_fn, tri_override,
     quirk modes (the _lmem carry-t aliasing runs as sequential seeded
     traces), standard direct lighting, brute-force primitives, sphere
     material 3 (no reachable mirror branch - models/super.py:159), and
-    meshes up to the reference's MAX_TRIANGLES (65536; SMEM-resident
-    <= 512, Morton-blocked above)."""
+    meshes to 16x the reference's MAX_TRIANGLES (65536, trianglegrid
+    .c:15; SMEM-resident <= 512, Morton-blocked above, interval-stream
+    past 65536)."""
     return (illum_fn is None and tri_override is None
             and scn.lights.shape[0] <= 8
-            and scn.tri_v0.shape[0] <= _MAX_BLOCKED_TRIANGLES)
+            and scn.tri_v0.shape[0] <= _MAX_STREAM_TRIANGLES)
 
 
 def film_super_mega(key, scn, width: int, height: int, spp: int,
                     spp_offset=0, spp_total: int | None = None,
                     quirks: Quirks = None, row_offset=0,
                     rows: int | None = None, interpret: bool = False,
-                    force_blocked: bool | None = None):
+                    force_blocked: bool | None = None,
+                    force_stream: bool | None = None):
     """Drop-in for models/super.py::film_super on the supported family:
     returns the pre-ambient (rows, W, 3) float32 film.  Meshes beyond 512
-    triangles use the Morton-blocked DMA-streamed scan (``force_blocked``
-    overrides the size switch for tests)."""
+    triangles use the Morton-blocked DMA-streamed scan; beyond 65536 the
+    take-lists come straight from the interval gate with segment-local
+    SMEM (``force_blocked`` / ``force_stream`` override the size
+    switches for tests)."""
     if spp_total is None:
         spp_total = spp
     if rows is None:
@@ -1440,8 +1505,13 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
     carry_t = bool(quirks.shadow_carry_t) if quirks is not None else False
     nt = int(scn.tri_v0.shape[0])
     blocked = nt > _MAX_SMEM_TRIANGLES
+    stream = nt > _MAX_BLOCKED_TRIANGLES
     if force_blocked is not None:
         blocked = force_blocked and nt > 0
+    if force_stream is not None:
+        stream = force_stream and nt > 0
+    if stream:
+        blocked = True
 
     R = width * rows
     if blocked:
@@ -1459,27 +1529,58 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
         tblT, aabbs, aabbs_m = _tri_blocks(scn)
         n_blocks = aabbs.shape[0]
         aabb_iv = _aabb_interval_rows(aabbs)
-        tri_inputs = [jnp.asarray(aabbs), jnp.asarray(aabb_iv),
-                      jnp.asarray(tblT)]
-        tri_specs = [
-            pl.BlockSpec((n_blocks, 6), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(aabb_iv.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
-        nb_pad = -(-n_blocks // 128) * 128
-        ng_pad = aabb_iv.shape[1]
-        scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
-                          pltpu.SemaphoreType.DMA,
-                          pltpu.VMEM((128, 128), jnp.int32),
-                          pltpu.VMEM((nb_pad, 1), jnp.int32),
-                          pltpu.SMEM((nb_pad, 1), jnp.int32),
-                          pltpu.SMEM((1, n_blocks + 1), jnp.int32),
-                          pltpu.SemaphoreType.DMA,
-                          pltpu.VMEM((_IGRP, ng_pad), jnp.int32),
-                          pltpu.SMEM((_IGRP, ng_pad), jnp.int32),
-                          pltpu.SMEM((1, 1), jnp.int32)]
+        if stream:
+            # stream tier: no exact-flag tables; segment-local interval
+            # bit buffers only (SMEM constant in mesh size).  Segment
+            # boundaries must respect group and lane-tile alignment.
+            assert _SEG % _IGRP == 0 and _MACRO % _IGRP == 0, \
+                (_SEG, _MACRO, _IGRP)
+            cols = _SEG // _IGRP
+            # every segment's column slice must exist in the padded table
+            need = -(-n_blocks // _SEG) * cols
+            if aabb_iv.shape[1] < need:
+                pad = np.empty((aabb_iv.shape[0], need), np.float32)
+                for c in range(6):
+                    pad[c * _IGRP:(c + 1) * _IGRP] = (
+                        np.float32(3e38) if c < 3 else np.float32(-3e38))
+                pad[:, :aabb_iv.shape[1]] = aabb_iv
+                aabb_iv = pad
+            tri_inputs = [jnp.asarray(aabb_iv), jnp.asarray(tblT)]
+            tri_specs = [
+                pl.BlockSpec(aabb_iv.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
+                              pltpu.SemaphoreType.DMA,
+                              pltpu.VMEM((_IGRP, cols), jnp.int32),
+                              pltpu.SMEM((_IGRP, cols), jnp.int32),
+                              pltpu.SemaphoreType.DMA,
+                              pltpu.SMEM((1, min(_SEG, n_blocks) + 1),
+                                         jnp.int32),
+                              pltpu.SMEM((1, 1), jnp.int32)]
+        else:
+            tri_inputs = [jnp.asarray(aabbs), jnp.asarray(aabb_iv),
+                          jnp.asarray(tblT)]
+            tri_specs = [
+                pl.BlockSpec((n_blocks, 6), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(aabb_iv.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            nb_pad = -(-n_blocks // 128) * 128
+            ng_pad = aabb_iv.shape[1]
+            scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
+                              pltpu.SemaphoreType.DMA,
+                              pltpu.VMEM((128, 128), jnp.int32),
+                              pltpu.VMEM((nb_pad, 1), jnp.int32),
+                              pltpu.SMEM((nb_pad, 1), jnp.int32),
+                              pltpu.SMEM((1, n_blocks + 1), jnp.int32),
+                              pltpu.SemaphoreType.DMA,
+                              pltpu.VMEM((_IGRP, ng_pad), jnp.int32),
+                              pltpu.SMEM((_IGRP, ng_pad), jnp.int32),
+                              pltpu.SMEM((1, 1), jnp.int32)]
         ntp = tblT.shape[1]
     else:
         n_blocks = 0
@@ -1495,7 +1596,8 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
 
     kernel = functools.partial(
         _mega_kernel, width=width, spp=spp, scn_const=_scene_const(scn),
-        neg_t=neg_t, nt=nt, n_blocks=n_blocks, carry_t=carry_t)
+        neg_t=neg_t, nt=nt, n_blocks=n_blocks, carry_t=carry_t,
+        stream=stream and blocked)
     global _UNROLL
     prev_unroll = _UNROLL
     _UNROLL = not interpret

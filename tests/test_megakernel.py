@@ -284,6 +284,59 @@ def test_megakernel_blocked_segmented_scan():
         np.testing.assert_allclose(g, ag, rtol=0, atol=ATOL)
 
 
+def test_megakernel_stream_tier():
+    """Meshes past _MAX_BLOCKED_TRIANGLES run the STREAM tier: take-lists
+    come straight from the segment-sliced interval gate (no exact
+    per-block refinement, no mesh-sized SMEM tables - the gate is a
+    strict superset of the exact union, so skipping the refinement can
+    only scan MORE blocks, never fewer).  Shrink the constants so an
+    interpret-sized torus spans 4 segments; pin equality against the XLA
+    pipeline for the single-sample path (spp=2), the grouped union path
+    (spp=_SPP_GROUP) and the carry-t quirk's sequential seeded traces."""
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
+    from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
+    scn = prep_scene(Scene(
+        sphere_centers=np.zeros((0, 3), np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=torus_mesh(center=(17.959, 4.252, 10.25),
+                             n_major=10, n_minor=6),
+        lights=np.array([[10, 4, 10, 200]], np.float32),
+    ))
+    key = make_key(41)
+    kw = dict(row_offset=150, rows=8)
+    prev = M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP
+    M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = 8, 2, 4, 2
+    try:
+        assert -(-120 // M._TRI_BLOCK) > M._SEG   # multi-segment
+        a = ref_film(key, scn, 40, 158, 2, **kw)
+        b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                         quirks=DEFAULT, interpret=True,
+                                         force_stream=True, **kw))
+        g = np.asarray(M.film_super_mega(key, scn, 40, 158, M._SPP_GROUP,
+                                         quirks=DEFAULT, interpret=True,
+                                         force_stream=True, **kw))
+        ag = ref_film(key, scn, 40, 158, M._SPP_GROUP, **kw)
+        c = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                         quirks=REFERENCE_LMEM,
+                                         interpret=True,
+                                         force_stream=True, **kw))
+        ac = ref_film(key, scn, 40, 158, 2, quirks=REFERENCE_LMEM, **kw)
+    finally:
+        M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = prev
+    assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    np.testing.assert_allclose(g, ag, rtol=0, atol=ATOL)
+    np.testing.assert_allclose(c, ac, rtol=0, atol=ATOL)
+
+
+def test_stream_gate_sizes():
+    """The size switch: <= 512 SMEM, <= 65536 exact-blocked, <= 1M
+    stream, beyond unsupported."""
+    scn = prep_scene(small_scene())
+    assert M._MAX_STREAM_TRIANGLES == 1 << 20
+    assert M.supported(scn, DEFAULT, None, None, 5)
+
+
 def test_tri_blocks_structure():
     """Morton blocks: a permutation of the triangle table with original
     indices in row 12, conservative AABBs containing every member

@@ -1,9 +1,10 @@
 """Large-mesh scaling sweep for docs/PERF.md (VERDICT r2 task 1).
 
 Measures the take-list blocked megakernel at 96 / 1k / 5k / 20k / 65k
-triangles (demo scene, triangles swapped for denser tori) at 512^2 x 4,
-both per-call (includes the ~27 ms tunnel call overhead) and in-jit
-amortized over several frames (kernel throughput).
+triangles, and the interval-stream tier at 262k / 1M (demo scene,
+triangles swapped for denser tori) at 512^2 x 4, both per-call (includes
+the ~27 ms tunnel call overhead) and in-jit amortized over several
+frames (kernel throughput).
 """
 
 from __future__ import annotations
@@ -33,6 +34,8 @@ MESHES = [
     ("5k", (50, 50)),
     ("20k", (144, 72)),
     ("65k", (256, 128)),
+    ("262k (stream)", (512, 256)),
+    ("1M (stream)", (1024, 512)),
 ]
 
 
@@ -61,14 +64,17 @@ def bench(fn, key, repeats=REPEATS):
 def main():
     key = make_key(9)
     only = os.environ.get("SWEEP_ONLY")  # comma-separated tag prefixes
+    # SWEEP_FORCE_STREAM=1 routes every mesh through the interval-stream
+    # tier (A/B vs the exact-blocked default at 20k/65k)
+    fstream = bool(int(os.environ.get("SWEEP_FORCE_STREAM", "0"))) or None
     meshes = MESHES if not only else [
         (t, nm) for t, nm in MESHES
         if any(t.startswith(p) for p in only.split(","))]
     for tag, nm in meshes:
         scn = scene_for(nm)
         nt = int(scn.tri_v0.shape[0])
-        fn = jax.jit(lambda k, s=scn: M.film_super_mega(k, s, SIZE, SIZE,
-                                                        SPP))
+        fn = jax.jit(lambda k, s=scn: M.film_super_mega(
+            k, s, SIZE, SIZE, SPP, force_stream=fstream))
         first, best, film = bench(fn, key)
         paths = SIZE * SIZE * SPP
         percall = paths / best / 1e6
@@ -76,7 +82,8 @@ def main():
         def many(key, s=scn):
             def body(i, acc):
                 k = (key[0] + i.astype(jnp.uint32), key[1])
-                return acc + M.film_super_mega(k, s, SIZE, SIZE, SPP)
+                return acc + M.film_super_mega(k, s, SIZE, SIZE, SPP,
+                                               force_stream=fstream)
             return jax.lax.fori_loop(0, FRAMES, body,
                                      jnp.zeros((SIZE, SIZE, 3), jnp.float32))
         fn_a = jax.jit(many)
