@@ -39,16 +39,21 @@ def main():
 
     t_pre = np.where(d[:, 2] < 0, -o[:, 2] / d[:, 2], 1e9)
 
-    # per-lane any-lane union (shipped semantics, pre-state prune)
+    # per-lane any-lane union (shipped semantics, pre-state prune),
+    # chunked per tile: the dense (rays, blocks, 3) temporary is ~13 GB
+    # at 262k triangles
     inv = 1.0 / d
     lo, hi = aabbs[:, :3].astype(np.float64), aabbs[:, 3:].astype(np.float64)
-    t0 = (lo[None] - o[:, None]) * inv[:, None]
-    t1 = (hi[None] - o[:, None]) * inv[:, None]
-    tmin = np.maximum(np.minimum(t0, t1).max(axis=2), 0.0)
-    tmax = np.maximum(t0, t1).min(axis=2)
-    lane = (tmax >= tmin) & (tmax >= 1e-2) & (tmin <= t_pre[:, None] * 1.001)
     anylane = np.zeros((n_tiles, nb), bool)
-    np.logical_or.at(anylane, tile_id, lane)
+    for t in range(n_tiles):
+        sel = tile_id == t
+        t0 = (lo[None] - o[sel, None]) * inv[sel, None]
+        t1 = (hi[None] - o[sel, None]) * inv[sel, None]
+        tmin = np.maximum(np.minimum(t0, t1).max(axis=2), 0.0)
+        tmax = np.maximum(t0, t1).min(axis=2)
+        lane = ((tmax >= tmin) & (tmax >= 1e-2)
+                & (tmin <= t_pre[sel, None] * 1.001))
+        anylane[t] = lane.any(axis=0)
 
     # interval test per tile
     interval = np.zeros((n_tiles, nb), bool)
