@@ -293,9 +293,22 @@ def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
     group columns [g0, g0 + cols) of the VMEM AABB table and its bit
     masks land in the segment-sized (_IGRP, cols) iflags buffers, so
     SMEM use is constant in mesh size.  The default geometry keeps the
-    column slice 128-lane aligned (_SEG = _IGRP * 128)."""
+    column slice 128-lane aligned (_SEG = _IGRP * 128).
+
+    Because stream flags are FINAL (no exact refinement trims them),
+    stream mode tightens each bundle with a per-axis SIGN SPLIT: for
+    each axis, the full interval test runs twice - lanes with d_a > 0
+    and lanes with d_a <= 0 - and the bundle takes
+    AND_axes(OR_sign-halves).  A lane that hits a block lies in one
+    sign half per axis and its half's test must pass, so every axis's
+    OR covers it: the AND stays a superset of the exact per-lane union.
+    The win is on sign-MIXED axes, where the un-split gate has no
+    constraint at all and takes whole depth columns (host sim at 262k
+    primaries: 5921 -> 3402 block scans/frame vs 2372 exact; 1.7x cut
+    at 65k-262k, 1.22x at 20k)."""
     aiv = tri["aabb_iv"]
-    if tri.get("stream"):
+    stream = bool(tri.get("stream"))
+    if stream:
         ng = tri["iflags_v"].shape[1]
         comp = [aiv[pl.ds(c * _IGRP, _IGRP), pl.ds(g0, ng)]
                 for c in range(6)]
@@ -304,16 +317,16 @@ def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
         ng = aiv.shape[1]
         comp = [aiv[pl.ds(c * _IGRP, _IGRP), :] for c in range(6)]
     zero = np.float32(0.0)
-    acc = None
-    for b in bundles:
-        gate = b["gate"]
 
-        def lo_(v, gate=gate):
+    def interval_test(b, gate):
+        """Full conservative interval slab test for bundle ``b`` over
+        the lanes in ``gate`` (None = all): (_IGRP, ng) bool."""
+        def lo_(v):
             if gate is not None:
                 v = jnp.where(gate, v, _BIGF)
             return jnp.min(v, axis=(0, 1), keepdims=True)
 
-        def hi_(v, gate=gate):
+        def hi_(v):
             if gate is not None:
                 v = jnp.where(gate, v, -_BIGF)
             return jnp.max(v, axis=(0, 1), keepdims=True)
@@ -358,6 +371,24 @@ def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
             some = jnp.max(gate.astype(jnp.int32), axis=(0, 1),
                            keepdims=True) > 0
             hit = hit & some
+        return hit
+
+    acc = None
+    for b in bundles:
+        gate = b["gate"]
+        if stream:
+            hit = None
+            for a in range(3):
+                da = b["d"][a]
+                pos = da > zero
+                ha = None
+                for half in (pos, ~pos):
+                    g = half if gate is None else (gate & half)
+                    h = interval_test(b, g)
+                    ha = h if ha is None else ha | h
+                hit = ha if hit is None else hit & ha
+        else:
+            hit = interval_test(b, gate)
         acc = hit if acc is None else acc | hit
     flags = acc.astype(jnp.int32)
     sh = jax.lax.broadcasted_iota(jnp.int32, (_IGRP, ng), 0)
