@@ -205,7 +205,15 @@ def main():
         for v, (std_size, std_spp) in STD_CONFIG.items():
             size = int(os.environ.get("BENCH_SIZE", str(std_size)))
             spp = int(os.environ.get("BENCH_SPP", str(std_spp)))
-            rec = bench_one(v, scene, tag, size, spp, repeats)
+            try:
+                rec = bench_one(v, scene, tag, size, spp, repeats)
+            except Exception as e:  # noqa: BLE001 - a crashed row must
+                # not take down the later rows (the driver parses the
+                # LAST line for the headline); it still fails the run
+                rec = {"metric": f"{v}_pathtracer_throughput", "value": 0.0,
+                       "unit": "Mpaths/s/chip", "vs_baseline": 0.0,
+                       "error": f"{type(e).__name__}: {e}"[:300],
+                       "floor": FLOORS.get(v, 0.0), "vs_floor": 0.0}
             worst = min(worst, rec.get("vs_floor", 1.0))
             print(json.dumps(rec), flush=True)
         return 0 if worst >= 1.0 else 1

@@ -113,3 +113,26 @@ def test_wait_for_backend_skips_on_forced_cpu(monkeypatch):
     monkeypatch.delenv("JAX_PLATFORM_NAME")
     monkeypatch.setenv("BENCH_TUNNEL_WAIT_S", "0")
     assert bench.wait_for_backend() is True
+
+
+def test_all_mode_isolates_row_crashes(monkeypatch, capsys):
+    """A row that RAISES (compile failure, tunnel drop mid-row) must not
+    take down the later rows - the driver parses the LAST line for the
+    headline - but must still fail the run and carry the error."""
+    def fake_bench_one(variant, scene, tag, size, spp, repeats):
+        if variant == "simple":
+            raise RuntimeError("boom")
+        return {"metric": f"{variant}_pathtracer_throughput",
+                "value": 1.0, "unit": "Mpaths/s/chip", "vs_baseline": 0.01,
+                "floor": bench.FLOORS[variant], "vs_floor": 2.0}
+
+    monkeypatch.setattr(bench, "bench_one", fake_bench_one)
+    monkeypatch.setenv("BENCH_VARIANT", "all")
+    rc = bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    recs = [json.loads(l) for l in out]
+    assert rc == 1
+    assert len(recs) == len(bench.STD_CONFIG)
+    assert recs[-1]["metric"] == "super_pathtracer_throughput"
+    bad = [r for r in recs if r.get("vs_floor") == 0.0]
+    assert len(bad) == 1 and "boom" in bad[0]["error"]
