@@ -226,17 +226,24 @@ def test_megakernel_blocked_random_soup():
     ))
     key = make_key(37)
     kw = dict(row_offset=150, rows=8)
-    prev = M._TRI_BLOCK, M._MACRO, M._IGRP
-    M._TRI_BLOCK, M._MACRO, M._IGRP = 8, 2, 2   # 96 tris -> 12 blocks,
-    try:                                        # 6 interval groups
+    prev = M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP
+    M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = 8, 2, 4, 2  # 96 tris ->
+    try:                                   # 12 blocks, 6 interval groups
         a = ref_film(key, scn, 40, 158, 2, **kw)
         b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
                                          quirks=DEFAULT, interpret=True,
                                          force_blocked=True, **kw))
+        # stream tier on the same soup: the SIGN-SPLIT interval gate is
+        # the only culling (zero-extent AABBs + slivers stress its
+        # interval arithmetic), across 3 segments
+        s = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                         quirks=DEFAULT, interpret=True,
+                                         force_stream=True, **kw))
     finally:
-        M._TRI_BLOCK, M._MACRO, M._IGRP = prev
+        M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = prev
     assert np.asarray(a).var() > 1e-5   # soup visible, not vacuous
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    np.testing.assert_allclose(s, a, rtol=0, atol=ATOL)
 
 
 def test_megakernel_blocked_segmented_scan():
