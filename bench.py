@@ -50,6 +50,10 @@ FLOORS = {
                              # measured 7.8-8.6 per-call (44 amortized)
     "bidirectional_dense": 20.0,  # ~100%-live VLP table (compaction OFF
                              # the table): the uncompacted-gather regime
+    "super_stream": 0.8,     # 262144-tri torus (past the reference's
+                             # MAX_TRIANGLES 65536): interval-stream tier,
+                             # segment-local take-lists (provisional floor;
+                             # raise once measured on chip)
 }
 
 # standard (size, spp) per row - the docs/BENCHMARKS.md rows.  Insertion
@@ -62,6 +66,7 @@ STD_CONFIG = {
     "metropolis_vlpgrid": (512, 256),
     "trianglegrid": (256, 16),
     "super_largemesh": (512, 4),
+    "super_stream": (512, 4),
     "bidirectional_dense": (512, 256),
     "super": (1024, 1024),
 }
@@ -77,6 +82,15 @@ def make_render(variant: str, scene, size: int, spp: int):
         from opencl_montecarlo_path_tracing_tpu.scene.builtin import (
             large_mesh_scene)
         big = large_mesh_scene()
+        return lambda k: render_super(k, big, size, size, spp=spp)
+    if variant == "super_stream":
+        # 2*512*256 = 262144 triangles: past _MAX_BLOCKED_TRIANGLES, so
+        # render_super routes to the interval-stream tier (docs/PERF.md
+        # "The stream tier").
+        from opencl_montecarlo_path_tracing_tpu.models.super import render_super
+        from opencl_montecarlo_path_tracing_tpu.scene.builtin import (
+            large_mesh_scene)
+        big = large_mesh_scene(n_major=512, n_minor=256)
         return lambda k: render_super(k, big, size, size, spp=spp)
     if variant == "simple":
         from opencl_montecarlo_path_tracing_tpu.models.simple import render_simple
