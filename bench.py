@@ -50,7 +50,7 @@ FLOORS = {
                              # measured 7.8-8.6 per-call (44 amortized)
     "bidirectional_dense": 20.0,  # ~100%-live VLP table (compaction OFF
                              # the table): the uncompacted-gather regime
-    "super_stream": 0.8,     # 262144-tri torus (past the reference's
+    "super_stream": 0.25,    # 262144-tri torus (past the reference's
                              # MAX_TRIANGLES 65536): interval-stream tier,
                              # segment-local take-lists (provisional floor;
                              # raise once measured on chip)
