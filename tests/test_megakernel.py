@@ -336,6 +336,46 @@ def test_megakernel_stream_tier():
     np.testing.assert_allclose(c, ac, rtol=0, atol=ATOL)
 
 
+def test_megakernel_blocked_stream_two_lights():
+    """Shared shadow-ray scans with MORE THAN ONE light: each sample
+    contributes one occlusion bundle PER LIGHT to the union take-list
+    (blocked tier) / sign-split interval gate (stream tier), a
+    composition the single-light torus tests never execute.  Pin both
+    tiers against the XLA pipeline on a 2-light torus across segments,
+    for the single-sample and grouped paths (reference lights
+    CLSuperPathTracer/lights.txt: (10,4,10)*200 and (15,2,7)*150)."""
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
+    from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
+    scn = prep_scene(Scene(
+        sphere_centers=np.zeros((0, 3), np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=torus_mesh(center=(17.959, 4.252, 10.25),
+                             n_major=10, n_minor=6),
+        lights=np.array([[10, 4, 10, 200], [15, 2, 7, 150]], np.float32),
+    ))
+    key = make_key(53)
+    kw = dict(row_offset=150, rows=8)
+    prev = M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP
+    M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = 8, 2, 4, 2
+    try:
+        assert -(-120 // M._TRI_BLOCK) > M._SEG   # multi-segment
+        a = ref_film(key, scn, 40, 158, 2, **kw)
+        ag = ref_film(key, scn, 40, 158, M._SPP_GROUP, **kw)
+        for force in ("force_blocked", "force_stream"):
+            b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                             quirks=DEFAULT, interpret=True,
+                                             **{force: True}, **kw))
+            g = np.asarray(M.film_super_mega(key, scn, 40, 158,
+                                             M._SPP_GROUP, quirks=DEFAULT,
+                                             interpret=True,
+                                             **{force: True}, **kw))
+            np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+            np.testing.assert_allclose(g, ag, rtol=0, atol=ATOL)
+    finally:
+        M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = prev
+    assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
+
+
 def test_stream_gate_sizes():
     """The size switch: <= 512 SMEM, <= 65536 exact-blocked, <= 1M
     stream, beyond unsupported."""
