@@ -1378,7 +1378,11 @@ def _tri_blocks(scn):
     per-block AABBs (padded by 0.1% + 1e-4 so float slab arithmetic stays
     conservative).  Returns (tblT (16, ntp) - transposed for 128-aligned
     DMA lane slices, rows padded to the f32 sublane tile - and
-    aabbs (n_blocks, 6) as (lo, hi); padding blocks get an empty box)."""
+    aabbs (n_blocks, 6) as (lo, hi); padding blocks get a NaN box - an
+    INVERTED (+big, -big) box passes both the slab and interval forms,
+    which compute [min, max] over the two plane candidates, while NaN
+    propagates through min/max and fails every >= comparison, so padded
+    blocks are culled by every tier's prepass at zero kernel cost)."""
     from .intersect import _tri_table
     tbl = _tri_table(scn)
     nt = tbl.shape[0]
@@ -1397,8 +1401,8 @@ def _tri_blocks(scn):
     tbl, lo, hi = tbl[order], lo[order], hi[order]
 
     # block count padded to full macros so every macro AABB encloses
-    # exactly _MACRO block AABBs (padding blocks are empty boxes +
-    # det==0 rows - never flagged, never hit)
+    # exactly _MACRO block AABBs (padding blocks are NaN boxes that fail
+    # every slab/interval test + det==0 rows - never flagged, never hit)
     n_blocks = -(-nt // _TRI_BLOCK)
     n_blocks = -(-n_blocks // _MACRO) * _MACRO
     ntp = n_blocks * _TRI_BLOCK
@@ -1407,7 +1411,7 @@ def _tri_blocks(scn):
     for b in range(n_blocks):
         s, e = b * _TRI_BLOCK, min((b + 1) * _TRI_BLOCK, nt)
         if s >= nt:
-            aabbs[b, :3], aabbs[b, 3:] = big, -big
+            aabbs[b, :] = np.nan
         else:
             blo = lo[s:e].min(axis=0)
             bhi = hi[s:e].max(axis=0)
