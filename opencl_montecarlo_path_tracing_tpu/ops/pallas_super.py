@@ -363,7 +363,13 @@ def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
         exi = exi + (jnp.abs(exi) * np.float32(1e-3) + np.float32(1e-3))
         hit = exi >= ent
         if not neg_t:
-            hit = hit & (exi >= np.float32(0.5) * _EPS)
+            # anchored bundles (tlo < 0): block crossings sit at anchored
+            # t' >= -(rounding at box scale), so the forward-half check
+            # relaxes by the bundle's slack instead of dropping to a line
+            # test (see _anchor_bundles)
+            tlo = b.get("tlo")
+            tlo = np.float32(0.5) * _EPS if tlo is None else np.float32(tlo)
+            hit = hit & (exi >= tlo)
             if b["thi"] is not None:
                 th = hi_(b["thi"])
                 hit = hit & (jnp.maximum(ent, zero) <= th * _PRUNE_SLACK)
@@ -875,6 +881,42 @@ def _trace_rays_shared(tri, rays, scn_const, neg_t: bool):
     return [_post_tri_finalize(*s) for s in states]
 
 
+def _anchor_bundles(gbox, rays):
+    """Per-lane ANCHORED origins for shadow interval-gate bundles.
+
+    A shadow bundle's true origins are the tile's hit points - which
+    include floor hits out to t ~ 1e6 near the horizon - so the bundle's
+    origin hull spans the whole horizon and the interval gate passes
+    essentially every block (measured: the 262k-triangle stream frame
+    spent ~90% of its 3.1 s scanning shadow-union blocks).  All triangle
+    geometry lives inside the padded global box ``gbox`` (a compile-time
+    literal, the hull of the block AABBs), so each lane's origin can
+    slide along its own ray to the box ENTRY point: the line set is
+    unchanged, every true block crossing (at t >= EPS, inside the box)
+    sits at anchored t' >= -(box-pad rounding), and the anchored origin
+    hull is bounded by the box (~ the mesh size) instead of the horizon.
+    Lanes whose rays MISS the padded box cannot hit any triangle (all
+    triangles lie inside the unpadded hull), so they are masked out of
+    the gate entirely (``keep``); lanes with non-finite slab results
+    (origin exactly on a box plane - 0 * inf) conservatively keep their
+    true origin and stay gated.
+
+    Returns (anchored origins per ray, keep mask per ray)."""
+    zero = np.float32(0.0)
+    one = np.float32(1.0)
+    anchors = []
+    keeps = []
+    for (ox, oy, oz), (dx, dy, dz), _tl in rays:
+        inv = (one / dx, one / dy, one / dz)
+        tmin, tmax = _slab(gbox, ox, oy, oz, *inv)
+        finite = (jnp.abs(tmin) < _BIGF) & (jnp.abs(tmax) < _BIGF)
+        miss = finite & ((tmax < tmin) | (tmax < zero))
+        s0 = jnp.where(finite & ~miss, jnp.maximum(tmin, zero), zero)
+        anchors.append((ox + s0 * dx, oy + s0 * dy, oz + s0 * dz))
+        keeps.append(~miss)
+    return anchors, keeps
+
+
 def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
     """Shared blocked occlusion scan: per SEGMENT, one flag prepass
     computes the UNION take-list over all (sample, light) shadow
@@ -920,13 +962,17 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
 
         return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, tuple(occs))
 
+    anchors, keeps = _anchor_bundles(tri["gbox"], rays)
+    diag = max(tri["gbox"][c + 3] - tri["gbox"][c] for c in range(3))
+    tlo = -(0.01 + 1e-3 * diag)
     for b0 in range(0, tri["n_blocks"], _SEG):
         bn = min(_SEG, tri["n_blocks"] - b0)
         # gates re-derive from the CURRENT occs: rays occluded by an
-        # earlier segment drop out of this segment's union entirely
+        # earlier segment drop out of this segment's union entirely;
+        # rays missing the global triangle box never enter it at all
         gates = []
         for k in range(len(rays)):
-            g = occs[k] == 0
+            g = (occs[k] == 0) & keeps[k]
             if relevants[k] is not None:
                 g = g & relevants[k]
             gates.append(g)
@@ -942,8 +988,8 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
                 acc = hit if acc is None else (acc | hit)
             return acc
 
-        bundles = [{"o": o3, "d": d3, "thi": None if neg_t else tl,
-                    "gate": gates[k]}
+        bundles = [{"o": anchors[k], "d": d3, "thi": None if neg_t else tl,
+                    "gate": gates[k], "tlo": tlo}
                    for k, (o3, d3, tl) in enumerate(rays)]
         _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
@@ -962,6 +1008,8 @@ def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool,
     the rays share one union take-list scan (_occ_blocked_multi), with
     ``relevants`` masking image-irrelevant lanes out of the block cull
     (their occ value may then be stale-0, which shading ignores)."""
+    if not rays:
+        return []   # 0-light scenes: no shadow bundles, no scan
     if relevants is None:
         relevants = [None] * len(rays)
     rays = [(o3, d3, _BIG if tl is None else tl) for o3, d3, tl in rays]
@@ -1077,7 +1125,8 @@ def _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti):
 
 def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                  scn_const, neg_t: bool, nt: int, n_blocks: int = 0,
-                 carry_t: bool = False, stream: bool = False):
+                 carry_t: bool = False, stream: bool = False,
+                 gbox=None):
     if n_blocks and stream:
         aabb_iv, tbl_any, out_ref, scratch, sem, iflags_v, iflags_s, \
             fsem, list_s, cnt_s = refs
@@ -1085,7 +1134,7 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                "aabb_iv": aabb_iv, "tbl": tbl_any, "scratch": scratch,
                "sem": sem, "n_blocks": n_blocks, "flat": False,
                "iflags_v": iflags_v, "iflags_s": iflags_s, "fsem": fsem,
-               "list": list_s, "cnt": cnt_s}
+               "list": list_s, "cnt": cnt_s, "gbox": gbox}
     elif n_blocks:
         aabb_ref, aabb_iv, tbl_any, out_ref, scratch, sem, flag_mat, \
             flags_v, flags_s, list_s, fsem, iflags_v, iflags_s, \
@@ -1096,7 +1145,7 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                "flat": n_blocks <= 2 * _IGRP, "flag_mat": flag_mat,
                "flags_v": flags_v, "flags_s": flags_s, "list": list_s,
                "fsem": fsem, "iflags_v": iflags_v, "iflags_s": iflags_s,
-               "cnt": cnt_s}
+               "cnt": cnt_s, "gbox": gbox}
     else:
         tbl_ref, out_ref = refs
         tri = {"mode": "smem", "nt": nt, "tbl": tbl_ref}
@@ -1564,6 +1613,18 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
         tblT, aabbs, aabbs_m = _tri_blocks(scn)
         n_blocks = aabbs.shape[0]
         aabb_iv = _aabb_interval_rows(aabbs)
+        # global triangle-geometry box (compile-time literal): every block
+        # AABB lies inside it.  Shadow bundles ANCHOR their interval-gate
+        # origins to its entry point (far floor-hit origins otherwise blow
+        # the origin hull to ~1e6 and degenerate the gate - see
+        # _anchor_bundles).  Generous padding keeps the slab conservative
+        # under f32 rounding.
+        live_b = aabbs[:, 0] <= aabbs[:, 3]
+        glo = aabbs[live_b, :3].min(axis=0)
+        ghi = aabbs[live_b, 3:].max(axis=0)
+        gpad = 0.01 * float((ghi - glo).max()) + 0.01
+        gbox = tuple(float(v) for v in np.concatenate(
+            [glo - gpad, ghi + gpad]))
         if stream:
             # stream tier: no exact-flag tables; segment-local interval
             # bit buffers only (SMEM constant in mesh size).  Segment
@@ -1632,7 +1693,8 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
     kernel = functools.partial(
         _mega_kernel, width=width, spp=spp, scn_const=_scene_const(scn),
         neg_t=neg_t, nt=nt, n_blocks=n_blocks, carry_t=carry_t,
-        stream=stream and blocked)
+        stream=stream and blocked,
+        gbox=gbox if blocked else None)
     global _UNROLL
     prev_unroll = _UNROLL
     _UNROLL = not interpret
