@@ -119,6 +119,20 @@ def _threefry(k0, k1, x0, x1):
     return x0, x1
 
 
+# The row/RNG helpers below are rebound through jax.jit: they are invoked
+# hundreds-to-thousands of times per KERNEL TRACE (per unrolled row x
+# bundle x segment), and on this JAX each traced jnp op costs ~0.3-0.9 ms
+# of pure tracing time - a 65k-triangle stream kernel spent ~200 s in
+# .lower() on ~127k traced ops.  A jitted helper is traced ONCE per aval
+# signature and thereafter binds one cached pjit eqn per call (~0.1 ms),
+# which Mosaic inlines during lowering - the emitted vector program, and
+# therefore the image, is bit-identical (tests/test_megakernel.py pins
+# equality; tools/diag_stream_compile.py measured 26x faster lowering).
+
+
+_threefry = jax.jit(_threefry)
+
+
 def _unit(bits):
     # Mosaic has no uint32->f32 cast; bits>>8 < 2^24 so the int32 view is
     # value-identical
@@ -169,6 +183,9 @@ def _tri_closest_row(r, ox, oy, oz, dx, dy, dz, neg_t: bool, carry):
     return bn, bd, m, nx, ny, nz, needs
 
 
+_tri_closest_row = jax.jit(_tri_closest_row, static_argnums=(7,))
+
+
 def _tri_closest_row_blocked(r, ox, oy, oz, dx, dy, dz, neg_t: bool, carry):
     """Blocked-mode closest-hit update: same math as _tri_closest_row plus
     an original-index tie-break (r[12], carried as ``bi``).  Triangles are
@@ -214,6 +231,10 @@ def _tri_closest_row_blocked(r, ox, oy, oz, dx, dy, dz, neg_t: bool, carry):
     return bn, bd, bi, m, nx, ny, nz, needs
 
 
+_tri_closest_row_blocked = jax.jit(_tri_closest_row_blocked,
+                                   static_argnums=(7,))
+
+
 def _tri_occ_row(r, ox, oy, oz, dx, dy, dz, neg_t: bool, tl, occ):
     """Occlusion update for one packed triangle row (9 scalars used)."""
     one = np.float32(1.0)
@@ -241,6 +262,9 @@ def _tri_occ_row(r, ox, oy, oz, dx, dy, dz, neg_t: bool, tl, occ):
     return jnp.where(ok, 1, occ)
 
 
+_tri_occ_row = jax.jit(_tri_occ_row, static_argnums=(7,))
+
+
 def _slab(aabb6, ox, oy, oz, inv_dx, inv_dy, inv_dz):
     """Ray-AABB slab interval (tmin, tmax) on vregs; 6 broadcast scalars."""
     tx0 = (aabb6[0] - ox) * inv_dx
@@ -263,6 +287,104 @@ def _slab(aabb6, ox, oy, oz, inv_dx, inv_dy, inv_dz):
 # relative headroom so rounding can only keep a block, never drop one.
 _PRUNE_SLACK = np.float32(1.0 + 1e-3)
 _BIGF = np.float32(3e38)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _box_hit_closest(a6, o3, inv3, bn, bd, neg_t: bool):
+    """Per-ray conservative slab + running-(bn, bd) t-prune for one block
+    AABB (the closest-hit prepass predicate).  Jitted: the exact tier
+    traces this per (block, ray) - see the trace-cost note above
+    _threefry."""
+    tmin, tmax = _slab(a6, o3[0], o3[1], o3[2], inv3[0], inv3[1], inv3[2])
+    hit = tmax >= tmin
+    if not neg_t:
+        hit = hit & (tmax >= _EPS)
+        hit = hit & (jnp.maximum(tmin, 0.0) * bd <= bn * _PRUNE_SLACK)
+    return hit
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _box_hit_occ(a6, o3, inv3, tl, gate, neg_t: bool):
+    """Per-ray conservative slab + shadow-t prune (+ optional lane gate)
+    for one block AABB (the occlusion prepass predicate).  Jitted (see
+    _box_hit_closest)."""
+    tmin, tmax = _slab(a6, o3[0], o3[1], o3[2], inv3[0], inv3[1], inv3[2])
+    hit = tmax >= tmin
+    if not neg_t:
+        hit = hit & (tmax >= _EPS) & (tmin <= tl * _PRUNE_SLACK)
+    if gate is not None:
+        hit = hit & gate
+    return hit
+
+
+@functools.partial(jax.jit, static_argnums=(4, 6))
+def _interval_test(comp, o3, d3, thi, tlo, gate, neg_t: bool):
+    """Full conservative interval slab test for one bundle over the
+    lanes in ``gate`` (None = all): (_IGRP, ng) bool.  ``comp`` is the
+    6-tuple of (lo/hi per axis) block-AABB rows; ``thi`` the bundle's
+    per-lane t bound (None = unbounded); ``tlo`` the anchored forward
+    floor (static float; see _anchor_bundles).  Jitted: the sign-split
+    stream gate calls this 6x per bundle per segment and each trace
+    costs ~200 jnp ops (see the trace-cost note above _threefry)."""
+    zero = np.float32(0.0)
+    ng = comp[0].shape[1]
+
+    def lo_(v):
+        if gate is not None:
+            v = jnp.where(gate, v, _BIGF)
+        return jnp.min(v, axis=(0, 1), keepdims=True)
+
+    def hi_(v):
+        if gate is not None:
+            v = jnp.where(gate, v, -_BIGF)
+        return jnp.max(v, axis=(0, 1), keepdims=True)
+
+    olo = [lo_(v) for v in o3]
+    ohi = [hi_(v) for v in o3]
+    dlo = [lo_(v) for v in d3]
+    dhi = [hi_(v) for v in d3]
+    ent = jnp.full((_IGRP, ng), -_BIGF, jnp.float32)
+    exi = jnp.full((_IGRP, ng), _BIGF, jnp.float32)
+    for c in range(3):
+        lo_p, hi_p = comp[c], comp[c + 3]
+        # reciprocal interval only valid when the direction keeps
+        # one strict sign across the bundle (NaN/inf products from
+        # the mixed case are discarded by the select)
+        mixed = dlo[c] * dhi[c] <= zero              # (1, 1)
+        ilo = np.float32(1.0) / dhi[c]
+        ihi = np.float32(1.0) / dlo[c]
+        alo, ahi = lo_p - ohi[c], lo_p - olo[c]
+        blo, bhi = hi_p - ohi[c], hi_p - olo[c]
+        t0lo = jnp.minimum(jnp.minimum(alo * ilo, alo * ihi),
+                           jnp.minimum(ahi * ilo, ahi * ihi))
+        t0hi = jnp.maximum(jnp.maximum(alo * ilo, alo * ihi),
+                           jnp.maximum(ahi * ilo, ahi * ihi))
+        t1lo = jnp.minimum(jnp.minimum(blo * ilo, blo * ihi),
+                           jnp.minimum(bhi * ilo, bhi * ihi))
+        t1hi = jnp.maximum(jnp.maximum(blo * ilo, blo * ihi),
+                           jnp.maximum(bhi * ilo, bhi * ihi))
+        near = jnp.minimum(t0lo, t1lo)
+        far = jnp.maximum(t0hi, t1hi)
+        ent = jnp.maximum(ent, jnp.where(mixed, -_BIGF, near))
+        exi = jnp.minimum(exi, jnp.where(mixed, _BIGF, far))
+    ent = ent - (jnp.abs(ent) * np.float32(1e-3) + np.float32(1e-3))
+    exi = exi + (jnp.abs(exi) * np.float32(1e-3) + np.float32(1e-3))
+    hit = exi >= ent
+    if not neg_t:
+        # anchored bundles (tlo < 0): block crossings sit at anchored
+        # t' >= -(rounding at box scale), so the forward-half check
+        # relaxes by the bundle's slack instead of dropping to a line
+        # test (see _anchor_bundles)
+        tlo = np.float32(0.5) * _EPS if tlo is None else np.float32(tlo)
+        hit = hit & (exi >= tlo)
+        if thi is not None:
+            th = hi_(thi)
+            hit = hit & (jnp.maximum(ent, zero) <= th * _PRUNE_SLACK)
+    if gate is not None:
+        some = jnp.max(gate.astype(jnp.int32), axis=(0, 1),
+                       keepdims=True) > 0
+        hit = hit & some
+    return hit
 
 
 def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
@@ -317,67 +439,11 @@ def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
         ng = aiv.shape[1]
         comp = [aiv[pl.ds(c * _IGRP, _IGRP), :] for c in range(6)]
     zero = np.float32(0.0)
+    comp_t = tuple(comp)
 
     def interval_test(b, gate):
-        """Full conservative interval slab test for bundle ``b`` over
-        the lanes in ``gate`` (None = all): (_IGRP, ng) bool."""
-        def lo_(v):
-            if gate is not None:
-                v = jnp.where(gate, v, _BIGF)
-            return jnp.min(v, axis=(0, 1), keepdims=True)
-
-        def hi_(v):
-            if gate is not None:
-                v = jnp.where(gate, v, -_BIGF)
-            return jnp.max(v, axis=(0, 1), keepdims=True)
-
-        olo = [lo_(v) for v in b["o"]]
-        ohi = [hi_(v) for v in b["o"]]
-        dlo = [lo_(v) for v in b["d"]]
-        dhi = [hi_(v) for v in b["d"]]
-        ent = jnp.full((_IGRP, ng), -_BIGF, jnp.float32)
-        exi = jnp.full((_IGRP, ng), _BIGF, jnp.float32)
-        for c in range(3):
-            lo_p, hi_p = comp[c], comp[c + 3]
-            # reciprocal interval only valid when the direction keeps
-            # one strict sign across the bundle (NaN/inf products from
-            # the mixed case are discarded by the select)
-            mixed = dlo[c] * dhi[c] <= zero              # (1, 1)
-            ilo = np.float32(1.0) / dhi[c]
-            ihi = np.float32(1.0) / dlo[c]
-            alo, ahi = lo_p - ohi[c], lo_p - olo[c]
-            blo, bhi = hi_p - ohi[c], hi_p - olo[c]
-            t0lo = jnp.minimum(jnp.minimum(alo * ilo, alo * ihi),
-                               jnp.minimum(ahi * ilo, ahi * ihi))
-            t0hi = jnp.maximum(jnp.maximum(alo * ilo, alo * ihi),
-                               jnp.maximum(ahi * ilo, ahi * ihi))
-            t1lo = jnp.minimum(jnp.minimum(blo * ilo, blo * ihi),
-                               jnp.minimum(bhi * ilo, bhi * ihi))
-            t1hi = jnp.maximum(jnp.maximum(blo * ilo, blo * ihi),
-                               jnp.maximum(bhi * ilo, bhi * ihi))
-            near = jnp.minimum(t0lo, t1lo)
-            far = jnp.maximum(t0hi, t1hi)
-            ent = jnp.maximum(ent, jnp.where(mixed, -_BIGF, near))
-            exi = jnp.minimum(exi, jnp.where(mixed, _BIGF, far))
-        ent = ent - (jnp.abs(ent) * np.float32(1e-3) + np.float32(1e-3))
-        exi = exi + (jnp.abs(exi) * np.float32(1e-3) + np.float32(1e-3))
-        hit = exi >= ent
-        if not neg_t:
-            # anchored bundles (tlo < 0): block crossings sit at anchored
-            # t' >= -(rounding at box scale), so the forward-half check
-            # relaxes by the bundle's slack instead of dropping to a line
-            # test (see _anchor_bundles)
-            tlo = b.get("tlo")
-            tlo = np.float32(0.5) * _EPS if tlo is None else np.float32(tlo)
-            hit = hit & (exi >= tlo)
-            if b["thi"] is not None:
-                th = hi_(b["thi"])
-                hit = hit & (jnp.maximum(ent, zero) <= th * _PRUNE_SLACK)
-        if gate is not None:
-            some = jnp.max(gate.astype(jnp.int32), axis=(0, 1),
-                           keepdims=True) > 0
-            hit = hit & some
-        return hit
+        return _interval_test(comp_t, tuple(b["o"]), tuple(b["d"]),
+                              b["thi"], b.get("tlo"), gate, neg_t)
 
     acc = None
     for b in bundles:
@@ -528,20 +594,16 @@ def _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl, carry,
     one = np.float32(1.0)
     inv_dx, inv_dy, inv_dz = one / dx, one / dy, one / dz
 
+    occ_gate = None if occ_tl is None else (carry == 0)
+
     def box_test(a6):
-        tmin, tmax = _slab(a6, ox, oy, oz, inv_dx, inv_dy, inv_dz)
-        hit = tmax >= tmin
-        if not neg_t:
-            hit = hit & (tmax >= _EPS)
-            if occ_tl is None:
-                bn_, bd_ = carry[0], carry[1]
-                hit = hit & (jnp.maximum(tmin, 0.0) * bd_
-                             <= bn_ * _PRUNE_SLACK)
-            else:
-                hit = hit & (tmin <= occ_tl * _PRUNE_SLACK)
-        if occ_tl is not None:
-            hit = hit & (carry == 0)
-        return hit
+        if occ_tl is None:
+            return _box_hit_closest(tuple(a6), (ox, oy, oz),
+                                    (inv_dx, inv_dy, inv_dz),
+                                    carry[0], carry[1], neg_t)
+        return _box_hit_occ(tuple(a6), (ox, oy, oz),
+                            (inv_dx, inv_dy, inv_dz),
+                            occ_tl, occ_gate, neg_t)
 
     if occ_tl is None:
         thi = None if neg_t else carry[0] / carry[1]
@@ -686,11 +748,24 @@ def _closest_blocked_multi(tri, rays, neg_t: bool, carries):
     sem = tri["sem"]
     list_s = tri["list"]
     one = np.float32(1.0)
-    invs = [(one / dx, one / dy, one / dz) for _, (dx, dy, dz) in rays]
+    B = len(rays)
+    sub = rays[0][0][0].shape[0]
     nvar = len(carries[0])
+    # STACK the bundles along sublanes: bundle k occupies rows
+    # [k*sub, (k+1)*sub) of one tall (B*sub, 128) vreg, so every row
+    # test, slab test and carry select is ONE traced op instead of B -
+    # B x fewer jaxpr eqns to trace, Mosaic-lower and compile, while the
+    # chip executes the identical per-lane math (the tall op is the same
+    # B vregs of VPU work; see the trace-cost note above _threefry).
+    sox, soy, soz = (jnp.concatenate([o3[c] for o3, _ in rays], axis=0)
+                     for c in range(3))
+    sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3 in rays], axis=0)
+                     for c in range(3))
+    sinv = (one / sdx, one / sdy, one / sdz)
+    scar = tuple(jnp.concatenate([c[v] for c in carries], axis=0)
+                 for v in range(nvar))
 
-    def scan(i, flat):
-        flat = list(flat)
+    def scan(i, scar):
         b = list_s[0, i]
         cp = pltpu.make_async_copy(
             tbl_any.at[:, pl.ds(b * _TRI_BLOCK, _TRI_BLOCK)],
@@ -698,49 +773,36 @@ def _closest_blocked_multi(tri, rays, neg_t: bool, carries):
         cp.start()
         cp.wait()
 
-        def rows(j, flat):
-            flat = list(flat)
+        def rows(j, c):
             for u in range(_TRI_UNROLL):
                 rr = j * _TRI_UNROLL + u
                 r = [scratch[jj, rr] for jj in range(13)]
-                for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
-                    c = tuple(flat[k * nvar:(k + 1) * nvar])
-                    c = _tri_closest_row_blocked(r, ox, oy, oz, dx, dy, dz,
-                                                 neg_t, c)
-                    flat[k * nvar:(k + 1) * nvar] = list(c)
-            return tuple(flat)
+                c = _tri_closest_row_blocked(r, sox, soy, soz,
+                                             sdx, sdy, sdz, neg_t, c)
+            return c
 
-        return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, tuple(flat))
+        return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, scar)
 
     for b0 in range(0, tri["n_blocks"], _SEG):
         bn = min(_SEG, tri["n_blocks"] - b0)
 
-        def box_test(a6, carries=carries):
-            acc = None
-            for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
-                tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
-                hit = tmax >= tmin
-                if not neg_t:
-                    bn_, bd_ = carries[k][0], carries[k][1]
-                    hit = hit & (tmax >= _EPS)
-                    hit = hit & (jnp.maximum(tmin, 0.0) * bd_
-                                 <= bn_ * _PRUNE_SLACK)
-                acc = hit if acc is None else (acc | hit)
-            return acc
+        def box_test(a6, scar=scar):
+            # one stacked slab+prune; the flag row's cross-lane max
+            # unions the bundles exactly as the per-ray OR did
+            return _box_hit_closest(tuple(a6), (sox, soy, soz), sinv,
+                                    scar[0], scar[1], neg_t)
 
         bundles = [{"o": o3, "d": d3,
-                    "thi": None if neg_t else carries[k][0] / carries[k][1],
+                    "thi": None if neg_t else
+                    scar[0][k * sub:(k + 1) * sub]
+                    / scar[1][k * sub:(k + 1) * sub],
                     "gate": None}
                    for k, (o3, d3) in enumerate(rays)]
         _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
-        flat = []
-        for c in carries:
-            flat.extend(c)
-        flat = list(jax.lax.fori_loop(0, cnt, scan, tuple(flat)))
-        carries = [tuple(flat[k * nvar:(k + 1) * nvar])
-                   for k in range(len(rays))]
-    return carries
+        scar = jax.lax.fori_loop(0, cnt, scan, scar)
+    return [tuple(scar[v][k * sub:(k + 1) * sub] for v in range(nvar))
+            for k in range(B)]
 
 
 def _pre_tri_state(ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
@@ -861,23 +923,34 @@ def _trace_rays_shared(tri, rays, scn_const, neg_t: bool):
               for (ox, oy, oz), (dx, dy, dz) in rays]
     if tri["nt"]:
         tbl_ref = tri["tbl"]
-        carries = tuple((t, jnp.ones_like(t), m, nx, ny, nz, needs)
-                        for t, m, nx, ny, nz, needs in states)
+        B = len(rays)
+        sub = rays[0][0][0].shape[0]
+        # stacked bundles (see _closest_blocked_multi): one tall op per
+        # row instead of B - identical per-lane math, B x fewer traced
+        # eqns
+        sox, soy, soz = (jnp.concatenate([o3[c] for o3, _ in rays], axis=0)
+                         for c in range(3))
+        sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3 in rays], axis=0)
+                         for c in range(3))
+        st = jnp.concatenate([s[0] for s in states], axis=0)
+        scar = (st, jnp.ones_like(st)) + tuple(
+            jnp.concatenate([s[v] for s in states], axis=0)
+            for v in range(1, 6))
 
-        def tri_step(i, cs):
-            cs = list(cs)
+        def tri_step(i, c):
             for u in range(_TRI_UNROLL):
                 row = i * _TRI_UNROLL + u
                 r = [tbl_ref[row, j] for j in range(12)]
-                for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
-                    cs[k] = _tri_closest_row(r, ox, oy, oz, dx, dy, dz,
-                                             neg_t, cs[k])
-            return tuple(cs)
+                c = _tri_closest_row(r, sox, soy, soz, sdx, sdy, sdz,
+                                     neg_t, c)
+            return c
 
         ntp = -(-tri["nt"] // _TRI_UNROLL)
-        carries = _static_fori(ntp, tri_step, carries)
-        states = [(bn / bd, m, nx, ny, nz, needs)
-                  for bn, bd, m, nx, ny, nz, needs in carries]
+        bn, bd, m, nx, ny, nz, needs = _static_fori(ntp, tri_step, scar)
+        t = bn / bd
+        states = [tuple(v[k * sub:(k + 1) * sub]
+                        for v in (t, m, nx, ny, nz, needs))
+                  for k in range(B)]
     return [_post_tri_finalize(*s) for s in states]
 
 
@@ -939,10 +1012,30 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
     sem = tri["sem"]
     list_s = tri["list"]
     one = np.float32(1.0)
-    invs = [(one / dx, one / dy, one / dz) for _, (dx, dy, dz), _tl in rays]
+    B = len(rays)
+    sub = rays[0][0][0].shape[0]
+    # STACK the (sample, light) bundles along sublanes (see
+    # _closest_blocked_multi): the row scan, slab tests and gate math
+    # run as single tall (B*sub, 128) ops - B x fewer traced eqns, same
+    # per-lane results bit-for-bit.  The shadow tl bound is the shared
+    # _BIG sentinel (stacked only if a caller ever passes distinct
+    # per-bundle bounds).
+    sox, soy, soz = (jnp.concatenate([o3[c] for o3, _, _ in rays], axis=0)
+                     for c in range(3))
+    sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3, _ in rays], axis=0)
+                     for c in range(3))
+    sinv = (one / sdx, one / sdy, one / sdz)
+    tls = [tl for _, _, tl in rays]
+    if all(isinstance(tl, (float, np.floating)) and float(tl) == float(tls[0])
+           for tl in tls):
+        stl = np.float32(tls[0])
+    else:
+        stl = jnp.concatenate(
+            [jnp.broadcast_to(tl, rays[k][0][0].shape)
+             for k, tl in enumerate(tls)], axis=0)
+    socc = jnp.concatenate(occs, axis=0)
 
-    def scan(i, occs):
-        occs = list(occs)
+    def scan(i, socc):
         b = list_s[0, i]
         cp = pltpu.make_async_copy(
             tbl_any.at[:, pl.ds(b * _TRI_BLOCK, _TRI_BLOCK)],
@@ -950,51 +1043,45 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
         cp.start()
         cp.wait()
 
-        def rows(j, occs):
-            occs = list(occs)
+        def rows(j, occ):
             for u in range(_TRI_UNROLL):
                 rr = j * _TRI_UNROLL + u
                 r = [scratch[jj, rr] for jj in range(9)]
-                for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
-                    occs[k] = _tri_occ_row(r, ox, oy, oz, dx, dy, dz,
-                                           neg_t, tl, occs[k])
-            return tuple(occs)
+                occ = _tri_occ_row(r, sox, soy, soz, sdx, sdy, sdz,
+                                   neg_t, stl, occ)
+            return occ
 
-        return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, tuple(occs))
+        return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, socc)
 
     anchors, keeps = _anchor_bundles(tri["gbox"], rays)
+    skeep = jnp.concatenate(keeps, axis=0)
+    if any(r is not None for r in relevants):
+        srel = jnp.concatenate(
+            [jnp.ones(rays[k][0][0].shape, jnp.bool_) if r is None else r
+             for k, r in enumerate(relevants)], axis=0)
+        skeep = skeep & srel
     diag = max(tri["gbox"][c + 3] - tri["gbox"][c] for c in range(3))
     tlo = -(0.01 + 1e-3 * diag)
     for b0 in range(0, tri["n_blocks"], _SEG):
         bn = min(_SEG, tri["n_blocks"] - b0)
         # gates re-derive from the CURRENT occs: rays occluded by an
         # earlier segment drop out of this segment's union entirely;
-        # rays missing the global triangle box never enter it at all
-        gates = []
-        for k in range(len(rays)):
-            g = (occs[k] == 0) & keeps[k]
-            if relevants[k] is not None:
-                g = g & relevants[k]
-            gates.append(g)
+        # rays missing the global triangle box (or masked image-
+        # irrelevant) never enter it at all
+        sgate = (socc == 0) & skeep
+        gates = [sgate[k * sub:(k + 1) * sub] for k in range(B)]
 
-        def box_test(a6, gates=gates):
-            acc = None
-            for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
-                tmin, tmax = _slab(a6, ox, oy, oz, *invs[k])
-                hit = tmax >= tmin
-                if not neg_t:
-                    hit = hit & (tmax >= _EPS) & (tmin <= tl * _PRUNE_SLACK)
-                hit = hit & gates[k]
-                acc = hit if acc is None else (acc | hit)
-            return acc
+        def box_test(a6, sgate=sgate):
+            return _box_hit_occ(tuple(a6), (sox, soy, soz), sinv, stl,
+                                sgate, neg_t)
 
         bundles = [{"o": anchors[k], "d": d3, "thi": None if neg_t else tl,
                     "gate": gates[k], "tlo": tlo}
                    for k, (o3, d3, tl) in enumerate(rays)]
         _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
-        occs = list(jax.lax.fori_loop(0, cnt, scan, tuple(occs)))
-    return occs
+        socc = jax.lax.fori_loop(0, cnt, scan, socc)
+    return [socc[k * sub:(k + 1) * sub] for k in range(B)]
 
 
 def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool,
@@ -1013,48 +1100,61 @@ def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool,
     if relevants is None:
         relevants = [None] * len(rays)
     rays = [(o3, d3, _BIG if tl is None else tl) for o3, d3, tl in rays]
-    occs = [None] * len(rays)
     one = np.float32(1.0)
     zero = np.float32(0.0)
-    for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
-        inv_dz = one / dz
-        p = -oz * inv_dz
-        occ = ((p > _EPS) & (p < tl)).astype(jnp.int32)
-        for kk, z in zip(scn_const["square_k"], scn_const["square_z"]):
-            rd = (np.float32(z) - oz) * inv_dz
-            ix = ox + dx * rd
-            iy = oy + dy * rd
-            ok = ((rd < tl) & (jnp.abs(np.float32(kk) - ix) < 1.0)
-                  & (jnp.abs(iy) < 1.0))
-            if not neg_t:
-                ok = ok & (rd > _EPS)
-            occ = jnp.where(ok, 1, occ)
-        for cx, cy, cz in scn_const["spheres"]:
-            px = ox - np.float32(cx)
-            py = oy - np.float32(cy)
-            pz = oz - np.float32(cz)
-            b = px * dx + py * dy + pz * dz
-            cc = px * px + py * py + pz * pz - one
-            q = b * b - cc
-            s = -b - jnp.sqrt(jnp.maximum(q, zero))
-            occ = jnp.where((q > zero) & (s < tl) & (s > _EPS), 1, occ)
-        occs[k] = occ
+    B = len(rays)
+    sub = rays[0][0][0].shape[0]
+    # stacked bundles (see _closest_blocked_multi): the floor/square/
+    # sphere prepass and the SMEM row scan run as single tall
+    # (B*sub, 128) ops - identical per-lane math, B x fewer traced eqns
+    sox, soy, soz = (jnp.concatenate([o3[c] for o3, _, _ in rays], axis=0)
+                     for c in range(3))
+    sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3, _ in rays], axis=0)
+                     for c in range(3))
+    tls = [tl for _, _, tl in rays]
+    if all(isinstance(tl, (float, np.floating)) and float(tl) == float(tls[0])
+           for tl in tls):
+        stl = np.float32(tls[0])
+    else:
+        stl = jnp.concatenate(
+            [jnp.broadcast_to(tl, rays[k][0][0].shape)
+             for k, tl in enumerate(tls)], axis=0)
+    inv_dz = one / sdz
+    p = -soz * inv_dz
+    occ = ((p > _EPS) & (p < stl)).astype(jnp.int32)
+    for kk, z in zip(scn_const["square_k"], scn_const["square_z"]):
+        rd = (np.float32(z) - soz) * inv_dz
+        ix = sox + sdx * rd
+        iy = soy + sdy * rd
+        ok = ((rd < stl) & (jnp.abs(np.float32(kk) - ix) < 1.0)
+              & (jnp.abs(iy) < 1.0))
+        if not neg_t:
+            ok = ok & (rd > _EPS)
+        occ = jnp.where(ok, 1, occ)
+    for cx, cy, cz in scn_const["spheres"]:
+        px = sox - np.float32(cx)
+        py = soy - np.float32(cy)
+        pz = soz - np.float32(cz)
+        b = px * sdx + py * sdy + pz * sdz
+        cc = px * px + py * py + pz * pz - one
+        q = b * b - cc
+        s = -b - jnp.sqrt(jnp.maximum(q, zero))
+        occ = jnp.where((q > zero) & (s < stl) & (s > _EPS), 1, occ)
     if tri["nt"] and tri["mode"] == "smem":
         tbl_ref = tri["tbl"]
 
-        def tri_step(i, occs):
-            occs = list(occs)
+        def tri_step(i, occ):
             for u in range(_TRI_UNROLL):
                 row = i * _TRI_UNROLL + u
                 r = [tbl_ref[row, j] for j in range(9)]
-                for k, ((ox, oy, oz), (dx, dy, dz), tl) in enumerate(rays):
-                    occs[k] = _tri_occ_row(r, ox, oy, oz, dx, dy, dz,
-                                           neg_t, tl, occs[k])
-            return tuple(occs)
+                occ = _tri_occ_row(r, sox, soy, soz, sdx, sdy, sdz,
+                                   neg_t, stl, occ)
+            return occ
 
         ntp = -(-tri["nt"] // _TRI_UNROLL)
-        occs = list(_static_fori(ntp, tri_step, tuple(occs)))
-    elif tri["nt"]:
+        occ = _static_fori(ntp, tri_step, occ)
+    occs = [occ[k * sub:(k + 1) * sub] for k in range(B)]
+    if tri["nt"] and tri["mode"] != "smem":
         # blocked mode: union take-list shared across all rays
         occs = _occ_blocked_multi(tri, rays, neg_t, occs, relevants)
     return occs
@@ -1093,6 +1193,9 @@ def _primary_rays_k(ii, jj, r1, r2, r3, r4):
     return ox, oy, oz, dx * inv_n, dy * inv_n, dz * inv_n
 
 
+_primary_rays_k = jax.jit(_primary_rays_k)
+
+
 def _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti):
     """4-material per-sample RGB on vregs (models/super.py::sample_super
     epilogue; mirror branch dead on the covered family)."""
@@ -1121,6 +1224,9 @@ def _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti):
     return (shade(C.SKY[0], C.FLOOR_RED[0], C.FLOOR_WHITE[0], C.DIFFUSE[0]),
             shade(C.SKY[1], C.FLOOR_RED[1], C.FLOOR_WHITE[1], C.DIFFUSE[1]),
             shade(C.SKY[2], C.FLOOR_RED[2], C.FLOOR_WHITE[2], C.DIFFUSE[2]))
+
+
+_shade_rgb = jax.jit(_shade_rgb)
 
 
 def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
