@@ -44,16 +44,24 @@ FLOORS = {
     "metropolis_vlpgrid": 85.0,  # measured 122 r2 (masked scan + compaction)
     "trianglegrid": 10.0,    # measured 17.9 r2 (megakernel route; the
                              # forced-DDA path is 0.2, accel="dda")
-    # stress rows (round 3):
-    "super_largemesh": 4.0,  # 20736-tri torus at 512^2: take-list
-                             # blocked scan + two-level macro prepass;
-                             # measured 7.8-8.6 per-call (44 amortized)
+    # stress rows (round 3).  These per-call rows at 512^2 x 4 carry
+    # only ~1M paths, so the tunnel's blocking-call overhead (measured
+    # 27 ms on a good day, ~200 ms on a congested one) dominates the
+    # denominator - floors leave room for a bad tunnel day, and the
+    # kernel-throughput story lives in the amortized sweep
+    # (tools/bench_largemesh_sweep.py, docs/PERF.md scaling table):
+    "super_largemesh": 3.0,  # 20736-tri torus at 512^2: take-list
+                             # blocked scan; measured per-call 4.9 (bad
+                             # tunnel day) - 8.6 (good); 34.7-44 amortized
     "bidirectional_dense": 20.0,  # ~100%-live VLP table (compaction OFF
                              # the table): the uncompacted-gather regime
-    "super_stream": 0.25,    # 262144-tri torus (past the reference's
+    "super_stream": 1.0,     # 262144-tri torus (past the reference's
                              # MAX_TRIANGLES 65536): interval-stream tier,
-                             # segment-local take-lists (provisional floor;
-                             # raise once measured on chip)
+                             # segment-local take-lists; measured per-call
+                             # 1.7-3.6 on chip across one day (5.4
+                             # amortized; 1M tier: 1.5 amortized, sweep
+                             # row) - floor guards the pre-rework 0.34
+                             # cliff, not the tunnel's 2x per-call swing
 }
 
 # standard (size, spp) per row - the docs/BENCHMARKS.md rows.  Insertion
