@@ -32,21 +32,37 @@ def torus_mesh(center=(7.8, 5.0, 10.7), major=0.6, minor=0.25,
     us = np.linspace(0, 2 * np.pi, n_major, endpoint=False)
     vs = np.linspace(0, 2 * np.pi, n_minor, endpoint=False)
 
-    def point(u, v):
+    # vectorized (the scalar per-vertex form cost ~4 s of Python at 65k
+    # triangles, ~1 min at 1M); float64 math with a final float32 cast,
+    # element-for-element the same ops as the old scalar loop, so the
+    # mesh is bit-identical (the goldens pin it)
+    def point(u, v):                       # u, v broadcastable grids
         r = major + minor * np.cos(v)
-        return np.array([cx + r * np.cos(u), cy + r * np.sin(u),
-                         cz + minor * np.sin(v)], np.float32)
+        return np.stack([cx + r * np.cos(u), cy + r * np.sin(u),
+                         cz + minor * np.sin(v)],
+                        axis=-1).astype(np.float32)
 
-    tris = []
-    for i in range(n_major):
-        for j in range(n_minor):
-            u0, u1 = us[i], us[(i + 1) % n_major]
-            v0, v1 = vs[j], vs[(j + 1) % n_minor]
-            a, b = point(u0, v0), point(u1, v0)
-            c, d = point(u1, v1), point(u0, v1)
-            tris.append([a, b, c])
-            tris.append([a, c, d])
-    return np.asarray(tris, np.float32)
+    u0 = us[:, None]
+    u1 = np.roll(us, -1)[:, None]
+    v0 = vs[None, :]
+    v1 = np.roll(vs, -1)[None, :]
+    a = point(np.broadcast_to(u0, (n_major, n_minor)),
+              np.broadcast_to(v0, (n_major, n_minor)))
+    b = point(np.broadcast_to(u1, (n_major, n_minor)),
+              np.broadcast_to(v0, (n_major, n_minor)))
+    c = point(np.broadcast_to(u1, (n_major, n_minor)),
+              np.broadcast_to(v1, (n_major, n_minor)))
+    d = point(np.broadcast_to(u0, (n_major, n_minor)),
+              np.broadcast_to(v1, (n_major, n_minor)))
+    # interleave [a, b, c] / [a, c, d] exactly as the scalar loop did
+    tris = np.empty((n_major, n_minor, 2, 3, 3), np.float32)
+    tris[:, :, 0, 0] = a
+    tris[:, :, 0, 1] = b
+    tris[:, :, 0, 2] = c
+    tris[:, :, 1, 0] = a
+    tris[:, :, 1, 1] = c
+    tris[:, :, 1, 2] = d
+    return tris.reshape(-1, 3, 3)
 
 
 def large_mesh_scene(n_major: int = 144, n_minor: int = 72) -> Scene:
