@@ -87,34 +87,48 @@ def _gather_rows_multi(read, n_rows, pts, accs, cells):
     6 scalars are its clipped cell-index AABB and the pair contributes
     only when the point's cell falls inside it (metropolispathtracer.ocl
     vlpgrid:326-349 membership)."""
-    def body(i, accs):
-        accs = list(accs)
+    B = len(pts)
+    sub = pts[0][0].shape[0]
+    # stacked shading points (pallas_super.py::_closest_blocked_multi):
+    # each row's gather runs as ONE tall (B*sub, 128) op instead of one
+    # per point - identical per-lane math, B x fewer traced eqns
+    # (docs/PERF.md "Tracing cost")
+    x, y, z, nx, ny, nz, ndx, x2 = (
+        jnp.concatenate([p[c] for p in pts], axis=0) for c in range(8))
+    if cells[0] is None:
+        assert all(c is None for c in cells)
+        scell = None
+    else:
+        scell = tuple(jnp.concatenate([c[i] for c in cells], axis=0)
+                      for i in range(4))
+    acc = jnp.concatenate(accs, axis=0)
+
+    def body(i, acc):
         for u in range(_VLP_UNROLL):
             r = read(i * _VLP_UNROLL + u)
             p0, p1, p2, vi, p2s = r[0], r[1], r[2], r[3], r[4]
-            for k, (x, y, z, nx, ny, nz, ndx, x2) in enumerate(pts):
-                lamb_num = (nx * p0 + ny * p1 + nz * p2) - ndx
-                dist2 = jnp.maximum(
-                    p2s - np.float32(2.0) * (x * p0 + y * p1 + z * p2) + x2,
-                    _EPS12)
-                rs = jax.lax.rsqrt(dist2)
-                # relu(lamb_num) * rs == max(lamb, 0); padded/dead rows
-                # drop out through min(I * rs^2, 1) == 0 (I >= 0 by
-                # construction, ops/vlp.py::vlp_from_light_sample)
-                contrib = (jnp.maximum(lamb_num, np.float32(0.0)) * rs
-                           * jnp.minimum(vi * (rs * rs), np.float32(1.0)))
-                if cells[k] is not None:
-                    cxf, cyf, czf, in_box = cells[k]
-                    member = (in_box
-                              & (r[5] <= cxf) & (cxf <= r[8])
-                              & (r[6] <= cyf) & (cyf <= r[9])
-                              & (r[7] <= czf) & (czf <= r[10]))
-                    contrib = jnp.where(member, contrib, np.float32(0.0))
-                accs[k] = accs[k] + contrib
-        return tuple(accs)
+            lamb_num = (nx * p0 + ny * p1 + nz * p2) - ndx
+            dist2 = jnp.maximum(
+                p2s - np.float32(2.0) * (x * p0 + y * p1 + z * p2) + x2,
+                _EPS12)
+            rs = jax.lax.rsqrt(dist2)
+            # relu(lamb_num) * rs == max(lamb, 0); padded/dead rows
+            # drop out through min(I * rs^2, 1) == 0 (I >= 0 by
+            # construction, ops/vlp.py::vlp_from_light_sample)
+            contrib = (jnp.maximum(lamb_num, np.float32(0.0)) * rs
+                       * jnp.minimum(vi * (rs * rs), np.float32(1.0)))
+            if scell is not None:
+                cxf, cyf, czf, in_box = scell
+                member = (in_box
+                          & (r[5] <= cxf) & (cxf <= r[8])
+                          & (r[6] <= cyf) & (cyf <= r[9])
+                          & (r[7] <= czf) & (czf <= r[10]))
+                contrib = jnp.where(member, contrib, np.float32(0.0))
+            acc = acc + contrib
+        return acc
 
-    return list(jax.lax.fori_loop(0, -(-n_rows // _VLP_UNROLL), body,
-                                  tuple(accs)))
+    acc = jax.lax.fori_loop(0, -(-n_rows // _VLP_UNROLL), body, acc)
+    return [acc[k * sub:(k + 1) * sub] for k in range(B)]
 
 
 def _gather_vlps_multi(vlp_ref, pts, n_live, cells):

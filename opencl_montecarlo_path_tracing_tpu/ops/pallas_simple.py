@@ -54,85 +54,92 @@ def _trace_floor_spheres_multi(sph_ref, n_sph: int, rays):
     scalars are read once per group (the simple tracer's TraceRay,
     spt.ocl:42-75); sphere normals come back normalised."""
     one = np.float32(1.0)
-    states = []
-    for (ox, oy, oz), (dx, dy, dz) in rays:
-        t = jnp.full(ox.shape, _BIG, jnp.float32)
-        m = jnp.zeros(ox.shape, jnp.int32)
-        nx = jnp.zeros(ox.shape, jnp.float32)
-        ny = jnp.zeros(ox.shape, jnp.float32)
-        nz = jnp.zeros(ox.shape, jnp.float32)
-        p = -oz * (one / dz)
-        hit = (p > _EPS) & (p < t)
-        t = jnp.where(hit, p, t)
-        m = jnp.where(hit, 1, m)
-        nz = jnp.where(hit, one, nz)
-        states.append((t, m, nx, ny, nz))
+    B = len(rays)
+    sub = rays[0][0][0].shape[0]
+    # stacked bundles (pallas_super.py::_closest_blocked_multi): every
+    # sphere test runs as ONE tall (B*sub, 128) op instead of one per
+    # ray - identical per-lane math, B x fewer traced eqns (JAX tracing
+    # costs ~0.3-0.9 ms per eqn; docs/PERF.md "Tracing cost")
+    sox, soy, soz = (jnp.concatenate([o3[c] for o3, _ in rays], axis=0)
+                     for c in range(3))
+    sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3 in rays], axis=0)
+                     for c in range(3))
+    t = jnp.full(sox.shape, _BIG, jnp.float32)
+    m = jnp.zeros(sox.shape, jnp.int32)
+    nx = jnp.zeros(sox.shape, jnp.float32)
+    ny = jnp.zeros(sox.shape, jnp.float32)
+    nz = jnp.zeros(sox.shape, jnp.float32)
+    p = -soz * (one / sdz)
+    hit = (p > _EPS) & (p < t)
+    t = jnp.where(hit, p, t)
+    m = jnp.where(hit, 1, m)
+    nz = jnp.where(hit, one, nz)
 
     def step(i, carry):
-        carry = list(carry)
+        t, m, nx, ny, nz = carry
         for u in range(_SPH_UNROLL):
             row = i * _SPH_UNROLL + u
             cx = sph_ref[row, 0]
             cy = sph_ref[row, 1]
             cz = sph_ref[row, 2]
-            for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
-                t, m, nx, ny, nz = carry[k]
-                px, py, pz = ox - cx, oy - cy, oz - cz
-                b = px * dx + py * dy + pz * dz
-                cc = px * px + py * py + pz * pz - one
-                q = b * b - cc
-                s = -b - jnp.sqrt(jnp.maximum(q, np.float32(0.0)))
-                ok = (q > np.float32(0.0)) & (s < t) & (s > _EPS)
-                t = jnp.where(ok, s, t)
-                m = jnp.where(ok, 2, m)
-                nx = jnp.where(ok, px + dx * s, nx)
-                ny = jnp.where(ok, py + dy * s, ny)
-                nz = jnp.where(ok, pz + dz * s, nz)
-                carry[k] = (t, m, nx, ny, nz)
-        return tuple(carry)
+            px, py, pz = sox - cx, soy - cy, soz - cz
+            b = px * sdx + py * sdy + pz * sdz
+            cc = px * px + py * py + pz * pz - one
+            q = b * b - cc
+            s = -b - jnp.sqrt(jnp.maximum(q, np.float32(0.0)))
+            ok = (q > np.float32(0.0)) & (s < t) & (s > _EPS)
+            t = jnp.where(ok, s, t)
+            m = jnp.where(ok, 2, m)
+            nx = jnp.where(ok, px + sdx * s, nx)
+            ny = jnp.where(ok, py + sdy * s, ny)
+            nz = jnp.where(ok, pz + sdz * s, nz)
+        return t, m, nx, ny, nz
 
     nr = -(-n_sph // _SPH_UNROLL)
-    states = jax.lax.fori_loop(0, nr, step, tuple(states))
-    out = []
-    for t, m, nx, ny, nz in states:
-        inv_len = jnp.where(
-            m == 2,
-            jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
-                                      np.float32(1e-30))),
-            one)
-        out.append((t, m, nx * inv_len, ny * inv_len, nz * inv_len))
-    return out
+    t, m, nx, ny, nz = jax.lax.fori_loop(0, nr, step, (t, m, nx, ny, nz))
+    inv_len = jnp.where(
+        m == 2,
+        jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                  np.float32(1e-30))),
+        one)
+    nx, ny, nz = nx * inv_len, ny * inv_len, nz * inv_len
+    return [tuple(v[k * sub:(k + 1) * sub] for v in (t, m, nx, ny, nz))
+            for k in range(B)]
 
 
 def _occluded_floor_spheres_multi(sph_ref, n_sph: int, rays):
     """Uncapped any-hit against floor + spheres for several rays sharing
     one table pass (the shadow test's full TraceRay, spt.ocl:106)."""
     one = np.float32(1.0)
-    occs = []
-    for (ox, oy, oz), (dx, dy, dz) in rays:
-        p = -oz * (one / dz)
-        occs.append(((p > _EPS) & (p < _BIG)).astype(jnp.int32))
+    B = len(rays)
+    sub = rays[0][0][0].shape[0]
+    # stacked bundles (see _trace_floor_spheres_multi)
+    sox, soy, soz = (jnp.concatenate([o3[c] for o3, _ in rays], axis=0)
+                     for c in range(3))
+    sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3 in rays], axis=0)
+                     for c in range(3))
+    p = -soz * (one / sdz)
+    occ = ((p > _EPS) & (p < _BIG)).astype(jnp.int32)
 
-    def step(i, occs):
-        occs = list(occs)
+    def step(i, occ):
         for u in range(_SPH_UNROLL):
             row = i * _SPH_UNROLL + u
             cx = sph_ref[row, 0]
             cy = sph_ref[row, 1]
             cz = sph_ref[row, 2]
-            for k, ((ox, oy, oz), (dx, dy, dz)) in enumerate(rays):
-                px, py, pz = ox - cx, oy - cy, oz - cz
-                b = px * dx + py * dy + pz * dz
-                cc = px * px + py * py + pz * pz - one
-                q = b * b - cc
-                s = -b - jnp.sqrt(jnp.maximum(q, np.float32(0.0)))
-                occs[k] = jnp.where(
-                    (q > np.float32(0.0)) & (s < _BIG) & (s > _EPS),
-                    1, occs[k])
-        return tuple(occs)
+            px, py, pz = sox - cx, soy - cy, soz - cz
+            b = px * sdx + py * sdy + pz * sdz
+            cc = px * px + py * py + pz * pz - one
+            q = b * b - cc
+            s = -b - jnp.sqrt(jnp.maximum(q, np.float32(0.0)))
+            occ = jnp.where(
+                (q > np.float32(0.0)) & (s < _BIG) & (s > _EPS),
+                1, occ)
+        return occ
 
     nr = -(-n_sph // _SPH_UNROLL)
-    return list(jax.lax.fori_loop(0, nr, step, tuple(occs)))
+    occ = jax.lax.fori_loop(0, nr, step, occ)
+    return [occ[k * sub:(k + 1) * sub] for k in range(B)]
 
 
 def _simple_mega_kernel(scalars_ref, sph_ref, out_ref, *, width: int,
