@@ -730,40 +730,29 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
     return carry
 
 
-def _closest_blocked_multi(tri, rays, neg_t: bool, carries):
-    """Shared blocked CLOSEST-HIT scan for several independent primary
-    bundles (one per spp-group sample): per SEGMENT, one flag prepass
-    computes the union take-list - each block's six AABB scalars are
-    read once and slab+prune-tested against every bundle (per-bundle
-    running bn/bd) - and one scan walks the union, sharing each block's
-    DMA and 13 scalar row reads across all bundles.  Later segments
-    re-prune with the bn/bd the earlier ones tightened (near-to-far
-    order makes self-occlusion cull the far mesh).  Scanning a block
-    one bundle did not need only re-tests rows against its
-    strictly-closer running minimum - the result is identical (same
-    closest-hit math, superset of rows).  ``carries`` are blocked-mode
-    carries (bn, bd, bi, m, nx, ny, nz, needs); returns them updated."""
+def _closest_blocked_stacked(tri, so3, sd3, B: int, neg_t: bool, scar):
+    """Shared blocked CLOSEST-HIT scan on ONE stacked (B*sub, 128)
+    bundle array (bundle k = sublane rows [k*sub, (k+1)*sub)): per
+    SEGMENT, one flag prepass computes the union take-list - each
+    block's six AABB scalars are read once and slab+prune-tested
+    against every bundle (per-bundle running bn/bd) - and one scan
+    walks the union, sharing each block's DMA and 13 scalar row reads
+    across all bundles.  Later segments re-prune with the bn/bd the
+    earlier ones tightened (near-to-far order makes self-occlusion cull
+    the far mesh).  Scanning a block one bundle did not need only
+    re-tests rows against its strictly-closer running minimum - the
+    result is identical (same closest-hit math, superset of rows).
+    ``scar`` is the stacked blocked-mode carry
+    (bn, bd, bi, m, nx, ny, nz, needs); returns it updated."""
     tbl_any = tri["tbl"]
     scratch = tri["scratch"]
     sem = tri["sem"]
     list_s = tri["list"]
     one = np.float32(1.0)
-    B = len(rays)
-    sub = rays[0][0][0].shape[0]
-    nvar = len(carries[0])
-    # STACK the bundles along sublanes: bundle k occupies rows
-    # [k*sub, (k+1)*sub) of one tall (B*sub, 128) vreg, so every row
-    # test, slab test and carry select is ONE traced op instead of B -
-    # B x fewer jaxpr eqns to trace, Mosaic-lower and compile, while the
-    # chip executes the identical per-lane math (the tall op is the same
-    # B vregs of VPU work; see the trace-cost note above _threefry).
-    sox, soy, soz = (jnp.concatenate([o3[c] for o3, _ in rays], axis=0)
-                     for c in range(3))
-    sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3 in rays], axis=0)
-                     for c in range(3))
+    sox, soy, soz = so3
+    sdx, sdy, sdz = sd3
+    sub = sox.shape[0] // B
     sinv = (one / sdx, one / sdy, one / sdz)
-    scar = tuple(jnp.concatenate([c[v] for c in carries], axis=0)
-                 for v in range(nvar))
 
     def scan(i, scar):
         b = list_s[0, i]
@@ -792,17 +781,19 @@ def _closest_blocked_multi(tri, rays, neg_t: bool, carries):
             return _box_hit_closest(tuple(a6), (sox, soy, soz), sinv,
                                     scar[0], scar[1], neg_t)
 
-        bundles = [{"o": o3, "d": d3,
+        def bsl(v, k):
+            return v[k * sub:(k + 1) * sub]
+
+        bundles = [{"o": tuple(bsl(v, k) for v in so3),
+                    "d": tuple(bsl(v, k) for v in sd3),
                     "thi": None if neg_t else
-                    scar[0][k * sub:(k + 1) * sub]
-                    / scar[1][k * sub:(k + 1) * sub],
+                    bsl(scar[0], k) / bsl(scar[1], k),
                     "gate": None}
-                   for k, (o3, d3) in enumerate(rays)]
+                   for k in range(B)]
         _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
         scar = jax.lax.fori_loop(0, cnt, scan, scar)
-    return [tuple(scar[v][k * sub:(k + 1) * sub] for v in range(nvar))
-            for k in range(B)]
+    return scar
 
 
 def _pre_tri_state(ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
@@ -912,30 +903,23 @@ def _trace_kernel(tri, ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
     return _post_tri_finalize(t, m, nx, ny, nz, needs)
 
 
-def _trace_rays_shared(tri, rays, scn_const, neg_t: bool):
-    """Closest-hit scans for SEVERAL independent ray bundles sharing one
-    pass over the SMEM triangle table (each row's 12 scalars read once,
-    tested against every bundle - e.g. two spp samples' primary rays).
-    Returns a list of (t, m, nx, ny, nz).  SMEM mode only; callers use
-    per-ray _trace_kernel for the blocked (large-mesh) stage."""
+def _trace_rays_stacked(tri, so3, sd3, scn_const, neg_t: bool):
+    """Closest-hit scan on ONE stacked (B*sub, 128) ray array sharing a
+    single pass over the SMEM triangle table (each row's 12 scalars read
+    once, tested against every stacked bundle - e.g. the spp group's
+    primary rays).  The floor/square/sphere pre-state and the finalize
+    run as tall ops too - the per-sample fixed work is where the
+    dependency-bound issue gap lives (docs/PERF.md round 3).  Returns
+    tall (t, m, nx, ny, nz).  SMEM mode only; blocked (large-mesh)
+    callers use _closest_blocked_stacked."""
     assert tri["nt"] == 0 or tri["mode"] == "smem"
-    states = [_pre_tri_state(ox, oy, oz, dx, dy, dz, scn_const, neg_t)
-              for (ox, oy, oz), (dx, dy, dz) in rays]
+    sox, soy, soz = so3
+    sdx, sdy, sdz = sd3
+    t, m, nx, ny, nz, needs = _pre_tri_state(sox, soy, soz, sdx, sdy, sdz,
+                                             scn_const, neg_t)
     if tri["nt"]:
         tbl_ref = tri["tbl"]
-        B = len(rays)
-        sub = rays[0][0][0].shape[0]
-        # stacked bundles (see _closest_blocked_multi): one tall op per
-        # row instead of B - identical per-lane math, B x fewer traced
-        # eqns
-        sox, soy, soz = (jnp.concatenate([o3[c] for o3, _ in rays], axis=0)
-                         for c in range(3))
-        sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3 in rays], axis=0)
-                         for c in range(3))
-        st = jnp.concatenate([s[0] for s in states], axis=0)
-        scar = (st, jnp.ones_like(st)) + tuple(
-            jnp.concatenate([s[v] for s in states], axis=0)
-            for v in range(1, 6))
+        scar = (t, jnp.ones_like(t), m, nx, ny, nz, needs)
 
         def tri_step(i, c):
             for u in range(_TRI_UNROLL):
@@ -948,13 +932,24 @@ def _trace_rays_shared(tri, rays, scn_const, neg_t: bool):
         ntp = -(-tri["nt"] // _TRI_UNROLL)
         bn, bd, m, nx, ny, nz, needs = _static_fori(ntp, tri_step, scar)
         t = bn / bd
-        states = [tuple(v[k * sub:(k + 1) * sub]
-                        for v in (t, m, nx, ny, nz, needs))
-                  for k in range(B)]
-    return [_post_tri_finalize(*s) for s in states]
+    return _post_tri_finalize(t, m, nx, ny, nz, needs)
 
 
-def _anchor_bundles(gbox, rays):
+def _trace_rays_shared(tri, rays, scn_const, neg_t: bool):
+    """List-API wrapper over _trace_rays_stacked: stacks the bundles
+    along sublanes, traces once, slices the results back.  Returns a
+    list of (t, m, nx, ny, nz)."""
+    B = len(rays)
+    sub = rays[0][0][0].shape[0]
+    so3 = tuple(jnp.concatenate([o3[c] for o3, _ in rays], axis=0)
+                for c in range(3))
+    sd3 = tuple(jnp.concatenate([d3[c] for _, d3 in rays], axis=0)
+                for c in range(3))
+    out = _trace_rays_stacked(tri, so3, sd3, scn_const, neg_t)
+    return [tuple(v[k * sub:(k + 1) * sub] for v in out) for k in range(B)]
+
+
+def _anchor_stacked(gbox, so3, sd3):
     """Per-lane ANCHORED origins for shadow interval-gate bundles.
 
     A shadow bundle's true origins are the tile's hit points - which
@@ -974,66 +969,47 @@ def _anchor_bundles(gbox, rays):
     (origin exactly on a box plane - 0 * inf) conservatively keep their
     true origin and stay gated.
 
-    Returns (anchored origins per ray, keep mask per ray)."""
+    Returns (anchored stacked origins, stacked keep mask) - the math is
+    elementwise, so it runs on the tall stacked arrays directly."""
     zero = np.float32(0.0)
     one = np.float32(1.0)
-    anchors = []
-    keeps = []
-    for (ox, oy, oz), (dx, dy, dz), _tl in rays:
-        inv = (one / dx, one / dy, one / dz)
-        tmin, tmax = _slab(gbox, ox, oy, oz, *inv)
-        finite = (jnp.abs(tmin) < _BIGF) & (jnp.abs(tmax) < _BIGF)
-        miss = finite & ((tmax < tmin) | (tmax < zero))
-        s0 = jnp.where(finite & ~miss, jnp.maximum(tmin, zero), zero)
-        anchors.append((ox + s0 * dx, oy + s0 * dy, oz + s0 * dz))
-        keeps.append(~miss)
-    return anchors, keeps
+    (ox, oy, oz), (dx, dy, dz) = so3, sd3
+    inv = (one / dx, one / dy, one / dz)
+    tmin, tmax = _slab(gbox, ox, oy, oz, *inv)
+    finite = (jnp.abs(tmin) < _BIGF) & (jnp.abs(tmax) < _BIGF)
+    miss = finite & ((tmax < tmin) | (tmax < zero))
+    s0 = jnp.where(finite & ~miss, jnp.maximum(tmin, zero), zero)
+    return (ox + s0 * dx, oy + s0 * dy, oz + s0 * dz), ~miss
 
 
-def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
-    """Shared blocked occlusion scan: per SEGMENT, one flag prepass
-    computes the UNION take-list over all (sample, light) shadow
-    bundles - each block's six AABB scalars are read once and
-    slab-tested against every ray - and one scan walks the union list,
-    sharing each block's DMA and 9 scalar row reads across all rays
-    (VERDICT round 2 task 7).  Rays a segment occludes drop out of the
-    next segment's union (gates re-derive from the running occs).
+def _occ_blocked_stacked(tri, so3, sd3, stl, B: int, neg_t: bool, socc,
+                         srel):
+    """Shared blocked occlusion scan on ONE stacked (B*sub, 128) bundle
+    array: per SEGMENT, one flag prepass computes the UNION take-list
+    over all (sample, light) shadow bundles - each block's six AABB
+    scalars are read once and slab-tested against every ray - and one
+    scan walks the union list, sharing each block's DMA and 9 scalar
+    row reads across all rays (VERDICT round 2 task 7).  Rays a segment
+    occludes drop out of the next segment's union (gates re-derive from
+    the running ``socc``).
 
-    ``relevants[k]`` masks lanes whose occlusion cannot change the image
-    out of the prepass: sky and facing-ratio hits ignore the illumination
-    term entirely, and back-facing lights (lamb < 0) zero it regardless
-    of occlusion.  This matters enormously: a sky lane's shadow origin is
-    x = o + d * 1e9, and the line from there toward a light crosses MANY
-    block AABBs - unmasked, sky tiles scan most of the mesh for shadow
-    rays whose result is discarded (measured 110 of 179 ms/frame on the
-    20k-torus at 256^2, docs/PERF.md round 3)."""
+    ``srel`` (or None) masks lanes whose occlusion cannot change the
+    image out of the prepass: sky and facing-ratio hits ignore the
+    illumination term entirely, and back-facing lights (lamb < 0) zero
+    it regardless of occlusion.  This matters enormously: a sky lane's
+    shadow origin is x = o + d * 1e9, and the line from there toward a
+    light crosses MANY block AABBs - unmasked, sky tiles scan most of
+    the mesh for shadow rays whose result is discarded (measured 110 of
+    179 ms/frame on the 20k-torus at 256^2, docs/PERF.md round 3)."""
     tbl_any = tri["tbl"]
     scratch = tri["scratch"]
     sem = tri["sem"]
     list_s = tri["list"]
     one = np.float32(1.0)
-    B = len(rays)
-    sub = rays[0][0][0].shape[0]
-    # STACK the (sample, light) bundles along sublanes (see
-    # _closest_blocked_multi): the row scan, slab tests and gate math
-    # run as single tall (B*sub, 128) ops - B x fewer traced eqns, same
-    # per-lane results bit-for-bit.  The shadow tl bound is the shared
-    # _BIG sentinel (stacked only if a caller ever passes distinct
-    # per-bundle bounds).
-    sox, soy, soz = (jnp.concatenate([o3[c] for o3, _, _ in rays], axis=0)
-                     for c in range(3))
-    sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3, _ in rays], axis=0)
-                     for c in range(3))
+    sox, soy, soz = so3
+    sdx, sdy, sdz = sd3
+    sub = sox.shape[0] // B
     sinv = (one / sdx, one / sdy, one / sdz)
-    tls = [tl for _, _, tl in rays]
-    if all(isinstance(tl, (float, np.floating)) and float(tl) == float(tls[0])
-           for tl in tls):
-        stl = np.float32(tls[0])
-    else:
-        stl = jnp.concatenate(
-            [jnp.broadcast_to(tl, rays[k][0][0].shape)
-             for k, tl in enumerate(tls)], axis=0)
-    socc = jnp.concatenate(occs, axis=0)
 
     def scan(i, socc):
         b = list_s[0, i]
@@ -1053,15 +1029,15 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
 
         return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, socc)
 
-    anchors, keeps = _anchor_bundles(tri["gbox"], rays)
-    skeep = jnp.concatenate(keeps, axis=0)
-    if any(r is not None for r in relevants):
-        srel = jnp.concatenate(
-            [jnp.ones(rays[k][0][0].shape, jnp.bool_) if r is None else r
-             for k, r in enumerate(relevants)], axis=0)
+    sanch, skeep = _anchor_stacked(tri["gbox"], so3, sd3)
+    if srel is not None:
         skeep = skeep & srel
     diag = max(tri["gbox"][c + 3] - tri["gbox"][c] for c in range(3))
     tlo = -(0.01 + 1e-3 * diag)
+
+    def bsl(v, k):
+        return v[k * sub:(k + 1) * sub]
+
     for b0 in range(0, tri["n_blocks"], _SEG):
         bn = min(_SEG, tri["n_blocks"] - b0)
         # gates re-derive from the CURRENT occs: rays occluded by an
@@ -1069,56 +1045,40 @@ def _occ_blocked_multi(tri, rays, neg_t: bool, occs, relevants):
         # rays missing the global triangle box (or masked image-
         # irrelevant) never enter it at all
         sgate = (socc == 0) & skeep
-        gates = [sgate[k * sub:(k + 1) * sub] for k in range(B)]
 
         def box_test(a6, sgate=sgate):
             return _box_hit_occ(tuple(a6), (sox, soy, soz), sinv, stl,
                                 sgate, neg_t)
 
-        bundles = [{"o": anchors[k], "d": d3, "thi": None if neg_t else tl,
-                    "gate": gates[k], "tlo": tlo}
-                   for k, (o3, d3, tl) in enumerate(rays)]
+        bundles = [{"o": tuple(bsl(v, k) for v in sanch),
+                    "d": tuple(bsl(v, k) for v in sd3),
+                    "thi": None if neg_t else
+                    (stl if isinstance(stl, np.floating) else bsl(stl, k)),
+                    "gate": bsl(sgate, k), "tlo": tlo}
+                   for k in range(B)]
         _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
         socc = jax.lax.fori_loop(0, cnt, scan, socc)
-    return [socc[k * sub:(k + 1) * sub] for k in range(B)]
+    return socc
 
 
-def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool,
-                          relevants=None):
-    """Occlusion scans for SEVERAL rays (different origins allowed - one
-    per (sample, light) pair), sharing a single pass over the triangle
-    table: each SMEM row is read once and tested against every ray,
-    dividing the scalar reads and loop overhead of the dominant stage by
-    the ray count.  ``rays`` is a list of (origin3, dir3, tl-or-None);
-    semantics per ray == _occluded_kernel.  In blocked (large-mesh) mode
-    the rays share one union take-list scan (_occ_blocked_multi), with
-    ``relevants`` masking image-irrelevant lanes out of the block cull
-    (their occ value may then be stale-0, which shading ignores)."""
-    if not rays:
-        return []   # 0-light scenes: no shadow bundles, no scan
-    if relevants is None:
-        relevants = [None] * len(rays)
-    rays = [(o3, d3, _BIG if tl is None else tl) for o3, d3, tl in rays]
+def _occluded_rays_stacked(tri, so3, sd3, stl, B: int, scn_const,
+                           neg_t: bool, srel=None):
+    """Occlusion scan on ONE stacked (B*sub, 128) bundle array (one
+    bundle per (sample, light) pair), sharing a single pass over the
+    triangle table: each SMEM row is read once and tested against every
+    ray, dividing the scalar reads and loop overhead of the dominant
+    stage by the ray count - and the floor/square/sphere prepass runs
+    as tall ops too.  ``stl`` is the shadow t bound (np.float32 scalar
+    or a stacked array); semantics per lane == _occluded_kernel.  In
+    blocked (large-mesh) mode the rays share one union take-list scan
+    (_occ_blocked_stacked), with ``srel`` masking image-irrelevant
+    lanes out of the block cull (their occ value may then be stale-0,
+    which shading ignores).  Returns the tall occ array."""
     one = np.float32(1.0)
     zero = np.float32(0.0)
-    B = len(rays)
-    sub = rays[0][0][0].shape[0]
-    # stacked bundles (see _closest_blocked_multi): the floor/square/
-    # sphere prepass and the SMEM row scan run as single tall
-    # (B*sub, 128) ops - identical per-lane math, B x fewer traced eqns
-    sox, soy, soz = (jnp.concatenate([o3[c] for o3, _, _ in rays], axis=0)
-                     for c in range(3))
-    sdx, sdy, sdz = (jnp.concatenate([d3[c] for _, d3, _ in rays], axis=0)
-                     for c in range(3))
-    tls = [tl for _, _, tl in rays]
-    if all(isinstance(tl, (float, np.floating)) and float(tl) == float(tls[0])
-           for tl in tls):
-        stl = np.float32(tls[0])
-    else:
-        stl = jnp.concatenate(
-            [jnp.broadcast_to(tl, rays[k][0][0].shape)
-             for k, tl in enumerate(tls)], axis=0)
+    sox, soy, soz = so3
+    sdx, sdy, sdz = sd3
     inv_dz = one / sdz
     p = -soz * inv_dz
     occ = ((p > _EPS) & (p < stl)).astype(jnp.int32)
@@ -1153,11 +1113,43 @@ def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool,
 
         ntp = -(-tri["nt"] // _TRI_UNROLL)
         occ = _static_fori(ntp, tri_step, occ)
-    occs = [occ[k * sub:(k + 1) * sub] for k in range(B)]
     if tri["nt"] and tri["mode"] != "smem":
         # blocked mode: union take-list shared across all rays
-        occs = _occ_blocked_multi(tri, rays, neg_t, occs, relevants)
-    return occs
+        occ = _occ_blocked_stacked(tri, so3, sd3, stl, B, neg_t, occ,
+                                   srel)
+    return occ
+
+
+def _occluded_rays_shared(tri, rays, scn_const, neg_t: bool,
+                          relevants=None):
+    """List-API wrapper over _occluded_rays_stacked: ``rays`` is a list
+    of (origin3, dir3, tl-or-None) bundles, stacked along sublanes and
+    sliced back (identical per-lane math, B x fewer traced eqns)."""
+    if not rays:
+        return []   # 0-light scenes: no shadow bundles, no scan
+    rays = [(o3, d3, _BIG if tl is None else tl) for o3, d3, tl in rays]
+    B = len(rays)
+    sub = rays[0][0][0].shape[0]
+    so3 = tuple(jnp.concatenate([o3[c] for o3, _, _ in rays], axis=0)
+                for c in range(3))
+    sd3 = tuple(jnp.concatenate([d3[c] for _, d3, _ in rays], axis=0)
+                for c in range(3))
+    tls = [tl for _, _, tl in rays]
+    if all(isinstance(tl, (float, np.floating)) and float(tl) == float(tls[0])
+           for tl in tls):
+        stl = np.float32(tls[0])
+    else:
+        stl = jnp.concatenate(
+            [jnp.broadcast_to(tl, rays[k][0][0].shape)
+             for k, tl in enumerate(tls)], axis=0)
+    srel = None
+    if relevants is not None and any(r is not None for r in relevants):
+        srel = jnp.concatenate(
+            [jnp.ones(rays[k][0][0].shape, jnp.bool_) if r is None else r
+             for k, r in enumerate(relevants)], axis=0)
+    occ = _occluded_rays_stacked(tri, so3, sd3, stl, B, scn_const, neg_t,
+                                 srel)
+    return [occ[k * sub:(k + 1) * sub] for k in range(B)]
 
 
 def _occluded_kernel_multi(tri, ox, oy, oz, dirs, scn_const, neg_t: bool,
@@ -1359,143 +1351,104 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
         sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
         return fr + sr, fg + sg, fb + sb
 
-    def sample_pair_body(pair, acc):
-        """_SPP_GROUP spp samples per iteration: their primary scans
-        share one pass over the triangle table, and all (sample, light)
-        shadow rays share another - each SMEM row's scalars are read
-        once per group instead of once per (sample, stage).  Same
-        accumulation order as the single-sample loop (s0, s1, ...), so
-        the film is bit-identical."""
+    def sample_group_body(pair, acc):
+        """_SPP_GROUP spp samples per iteration, STACKED along sublanes:
+        sample j occupies rows [j*_SUB, (j+1)*_SUB) of tall
+        (G*_SUB, 128) arrays, so RNG, camera, pre-trace state, shadow
+        setup and shading each run as ONE tall op per math line instead
+        of G (and per light instead of G*nlights) - identical per-lane
+        math, G x fewer traced eqns AND G independent vregs per issue
+        for the dependency-chain-bound fixed work (docs/PERF.md round 3
+        occupancy fit).  The primary scans share one pass over the
+        triangle table (one union take-list in blocked mode), and all
+        G x nlights shadow rays - stacked light-major on top - share
+        another.  Film accumulation slices back in (s0, s1, ...) order,
+        so the image is bit-identical to the single-sample loop."""
         G = _SPP_GROUP
         fr, fg, fb = acc
-        prim = []
-        ray_ids = []
-        for j in range(G):
-            s32 = (pair * G + j).astype(_U32) + spp_offset
-            ray_id = pixel_index * spp_total + s32
-            b0, b1 = _threefry(k0, k1, ray_id, jnp.zeros_like(ray_id))
-            b2, b3 = _threefry(k0, k1, ray_id, jnp.ones_like(ray_id))
-            r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
-            ox, oy, oz, dx, dy, dz = _primary_rays_k(ii, jj, r1, r2, r3, r4)
-            prim.append(((ox, oy, oz), (dx, dy, dz)))
-            ray_ids.append(ray_id)
-        traces = _trace_rays_shared(tri, prim, scn_const, neg_t)
+        rid = jnp.concatenate(
+            [pixel_index * spp_total
+             + ((pair * G + j).astype(_U32) + spp_offset)
+             for j in range(G)], axis=0)
 
-        hits = []
-        shadow = []
-        lambs = []
-        for j in range(G):
-            t, m, nx, ny, nz = traces[j]
-            (ox, oy, oz), (dx, dy, dz) = prim[j]
-            x = ox + dx * t
-            y = oy + dy * t
-            z = oz + dz * t
-            hits.append((t, m, nx, ny, nz, x, y, z, dx, dy, dz))
-            for i, (lx, ly, lz, li) in enumerate(lights):
-                site = np.uint32((C.SITE_LIGHT0 + i) * 8)
-                u0, u1 = _threefry(k0, k1, ray_ids[j],
-                                   jnp.full_like(ray_ids[j], site))
-                u1f, u2f = _unit(u0), _unit(u1)
-                ldx = np.float32(lx) + u1f - x
-                ldy = np.float32(ly) + u2f - y
-                ldz = np.float32(lz) - z
-                d3 = _normalize3(ldx, ldy, ldz)
-                shadow.append(((x, y, z), d3, None))
-                lambs.append(d3[0] * nx + d3[1] * ny + d3[2] * nz)
-        occs = _occluded_rays_shared(tri, shadow, scn_const, neg_t)
+        # camera draws: site 0, counters 0 and 1 (core/rng.py randn_draws)
+        b0, b1 = _threefry(k0, k1, rid, jnp.zeros_like(rid))
+        b2, b3 = _threefry(k0, k1, rid, jnp.ones_like(rid))
+        r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
+        iiT = jnp.concatenate([ii] * G, axis=0)
+        jjT = jnp.concatenate([jj] * G, axis=0)
+        ox, oy, oz, dx, dy, dz = _primary_rays_k(iiT, jjT, r1, r2, r3, r4)
 
-        for j in range(G):
-            t, m, nx, ny, nz, x, y, z, dx, dy, dz = hits[j]
-            ti = jnp.zeros_like(t)
-            for i, (lx, ly, lz, li) in enumerate(lights):
-                idx = j * len(lights) + i
-                lamb = lambs[idx]
-                dqx = np.float32(lx) - x
-                dqy = np.float32(ly) - y
-                dqz = np.float32(lz) - z
-                dist2 = dqx * dqx + dqy * dqy + dqz * dqz
-                ti = ti + jnp.where(
-                    (lamb < 0) | (occs[idx] != 0), np.float32(0.0),
-                    lamb * jnp.minimum(np.float32(li) / dist2, one))
-            ti = jnp.minimum(ti, one) * np.float32(0.25)
-            sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
-            fr, fg, fb = fr + sr, fg + sg, fb + sb
-        return fr, fg, fb
-
-    def sample_group_blocked(pair, acc):
-        """Blocked-mode spp group: G samples share ONE union take-list
-        (and its prepass AABB reads, build, and per-block DMAs) for the
-        primary closest-hit stage, and all G x nlights shadow rays share
-        another via _occ_blocked_multi.  Accumulation order matches the
-        single-sample loop (s0, s1, ...), so the film is bit-identical;
-        scanning a union block a sample did not need only re-tests rows
-        against its strictly-closer running minimum."""
-        G = _SPP_GROUP
-        fr, fg, fb = acc
-        prim = []
-        ray_ids = []
-        carries = []
-        for j in range(G):
-            s32 = (pair * G + j).astype(_U32) + spp_offset
-            ray_id = pixel_index * spp_total + s32
-            b0, b1 = _threefry(k0, k1, ray_id, jnp.zeros_like(ray_id))
-            b2, b3 = _threefry(k0, k1, ray_id, jnp.ones_like(ray_id))
-            r1, r2, r3, r4 = _unit(b0), _unit(b1), _unit(b2), _unit(b3)
-            ox, oy, oz, dx, dy, dz = _primary_rays_k(ii, jj, r1, r2, r3, r4)
-            prim.append(((ox, oy, oz), (dx, dy, dz)))
-            ray_ids.append(ray_id)
+        if tri["nt"] and tri["mode"] != "smem":
             t, m, nx, ny, nz, needs = _pre_tri_state(
                 ox, oy, oz, dx, dy, dz, scn_const, neg_t)
-            carries.append((t, jnp.ones_like(t), jnp.full_like(t, -1.0),
-                            m, nx, ny, nz, needs))
-        carries = _closest_blocked_multi(tri, prim, neg_t, carries)
-        traces = []
-        for bn, bd, _, m, nx, ny, nz, needs in carries:
-            traces.append(_post_tri_finalize(bn / bd, m, nx, ny, nz, needs))
+            scar = (t, jnp.ones_like(t), jnp.full_like(t, -1.0),
+                    m, nx, ny, nz, needs)
+            scar = _closest_blocked_stacked(
+                tri, (ox, oy, oz), (dx, dy, dz), G, neg_t, scar)
+            bn, bd, _, m, nx, ny, nz, needs = scar
+            t, m, nx, ny, nz = _post_tri_finalize(bn / bd, m, nx, ny, nz,
+                                                  needs)
+        else:
+            t, m, nx, ny, nz = _trace_rays_stacked(
+                tri, (ox, oy, oz), (dx, dy, dz), scn_const, neg_t)
+        x = ox + dx * t
+        y = oy + dy * t
+        z = oz + dz * t
 
-        hits = []
-        shadow = []
+        # shadow bundles: per light, jitter + direction math on the tall
+        # sample array (light coords stay scalar constants); the
+        # occlusion scan stacks the lights on top - bundle (i, j) is
+        # rows [(i*G + j)*_SUB, ...) of a (nlights*G*_SUB, 128) array.
+        # Only floor/diffuse hits with a front-facing light consume the
+        # occlusion result (_shade_rgb: sky and facing-ratio ignore ti;
+        # lamb < 0 zeroes the contribution) - the mask feeds the
+        # blocked-mode cull.
+        L = len(lights)
+        base_rel = (m == 1) | (m == 3)
+        sh_d = []
         lambs = []
         rels = []
-        for j in range(G):
-            t, m, nx, ny, nz = traces[j]
-            (ox, oy, oz), (dx, dy, dz) = prim[j]
-            x = ox + dx * t
-            y = oy + dy * t
-            z = oz + dz * t
-            hits.append((t, m, nx, ny, nz, x, y, z, dx, dy, dz))
-            base_rel = (m == 1) | (m == 3)
-            for i, (lx, ly, lz, li) in enumerate(lights):
-                site = np.uint32((C.SITE_LIGHT0 + i) * 8)
-                u0, u1 = _threefry(k0, k1, ray_ids[j],
-                                   jnp.full_like(ray_ids[j], site))
-                u1f, u2f = _unit(u0), _unit(u1)
-                ldx = np.float32(lx) + u1f - x
-                ldy = np.float32(ly) + u2f - y
-                ldz = np.float32(lz) - z
-                d3 = _normalize3(ldx, ldy, ldz)
-                shadow.append(((x, y, z), d3, None))
-                lambs.append(d3[0] * nx + d3[1] * ny + d3[2] * nz)
-                rels.append(base_rel & (lambs[-1] >= 0))
-        occs = _occluded_rays_shared(tri, shadow, scn_const, neg_t,
-                                     relevants=rels)
+        for i, (lx, ly, lz, li) in enumerate(lights):
+            site = np.uint32((C.SITE_LIGHT0 + i) * 8)
+            u0, u1 = _threefry(k0, k1, rid, jnp.full_like(rid, site))
+            u1f, u2f = _unit(u0), _unit(u1)
+            ldx = np.float32(lx) + u1f - x
+            ldy = np.float32(ly) + u2f - y
+            ldz = np.float32(lz) - z
+            d3 = _normalize3(ldx, ldy, ldz)
+            sh_d.append(d3)
+            lambs.append(d3[0] * nx + d3[1] * ny + d3[2] * nz)
+            rels.append(base_rel & (lambs[-1] >= 0))
+        if L:
+            so3 = tuple(jnp.concatenate([v] * L, axis=0) for v in (x, y, z))
+            sd3 = tuple(jnp.concatenate([d[c] for d in sh_d], axis=0)
+                        for c in range(3))
+            srel = (jnp.concatenate(rels, axis=0)
+                    if tri["nt"] and tri["mode"] != "smem" else None)
+            occ = _occluded_rays_stacked(tri, so3, sd3, np.float32(_BIG),
+                                         L * G, scn_const, neg_t, srel)
 
+        # illumination + shading on the tall sample array; ti accumulates
+        # in light order (same per-lane float order as the single-sample
+        # loop), then the film slices back in (s0, s1, ...) order.
+        GS = G * _SUB
+        ti = jnp.zeros_like(t)
+        for i, (lx, ly, lz, li) in enumerate(lights):
+            lamb = lambs[i]
+            dqx = np.float32(lx) - x
+            dqy = np.float32(ly) - y
+            dqz = np.float32(lz) - z
+            dist2 = dqx * dqx + dqy * dqy + dqz * dqz
+            ti = ti + jnp.where(
+                (lamb < 0) | (occ[i * GS:(i + 1) * GS] != 0),
+                np.float32(0.0),
+                lamb * jnp.minimum(np.float32(li) / dist2, one))
+        ti = jnp.minimum(ti, one) * np.float32(0.25)
+        sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
         for j in range(G):
-            t, m, nx, ny, nz, x, y, z, dx, dy, dz = hits[j]
-            ti = jnp.zeros_like(t)
-            for i, (lx, ly, lz, li) in enumerate(lights):
-                idx = j * len(lights) + i
-                lamb = lambs[idx]
-                dqx = np.float32(lx) - x
-                dqy = np.float32(ly) - y
-                dqz = np.float32(lz) - z
-                dist2 = dqx * dqx + dqy * dqy + dqz * dqz
-                ti = ti + jnp.where(
-                    (lamb < 0) | (occs[idx] != 0), np.float32(0.0),
-                    lamb * jnp.minimum(np.float32(li) / dist2, one))
-            ti = jnp.minimum(ti, one) * np.float32(0.25)
-            sr, sg, sb = _shade_rgb(m, x, y, dx, dy, dz, nx, ny, nz, ti)
-            fr, fg, fb = fr + sr, fg + sg, fb + sb
+            sl = slice(j * _SUB, (j + 1) * _SUB)
+            fr, fg, fb = fr + sr[sl], fg + sg[sl], fb + sb[sl]
         return fr, fg, fb
 
     zero = jnp.zeros((_SUB, 128), jnp.float32)
@@ -1504,8 +1457,7 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
     # the prepass/take-list/DMA work) by the rays sharing each pass;
     # carry_t stays sequential (its traces are dependent)
     if not carry_t and spp >= _SPP_GROUP:
-        group_body = sample_group_blocked if n_blocks else sample_pair_body
-        acc = jax.lax.fori_loop(0, spp // _SPP_GROUP, group_body, acc)
+        acc = jax.lax.fori_loop(0, spp // _SPP_GROUP, sample_group_body, acc)
         for tail_s in range((spp // _SPP_GROUP) * _SPP_GROUP, spp):
             acc = sample_body(jnp.int32(tail_s), acc)
     else:
