@@ -243,10 +243,27 @@ def main():
     scene, tag = demo_scene()
 
     if variant == "all":
+        # Wall-clock budget for the NON-headline rows: through a congested
+        # tunnel each row's compile can take minutes, and a driver that
+        # kills the process mid-run would record whatever row printed last
+        # as "the headline".  Once the budget is spent, remaining stress
+        # rows are SKIPPED (explicit "skipped" records - not silent) so the
+        # real headline super row always renders and prints last.
+        budget = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+        t_start = time.monotonic()
         worst = 1.0
         for v, (std_size, std_spp) in STD_CONFIG.items():
             size = int(os.environ.get("BENCH_SIZE", str(std_size)))
             spp = int(os.environ.get("BENCH_SPP", str(std_spp)))
+            elapsed = time.monotonic() - t_start
+            if v != "super" and budget > 0 and elapsed > budget:
+                rec = {"metric": f"{v}_pathtracer_throughput",
+                       "skipped": True,
+                       "reason": f"BENCH_BUDGET_S {budget:.0f}s exceeded "
+                                 f"({elapsed:.0f}s elapsed) - skipping so "
+                                 "the headline row still runs"}
+                print(json.dumps(rec), flush=True)
+                continue
             try:
                 rec = bench_one(v, scene, tag, size, spp, repeats)
             except Exception as e:  # noqa: BLE001 - a crashed row must

@@ -105,6 +105,33 @@ def test_recorded_bench_results_meet_floors():
             f"{path}: {variant} {parsed['value']} < floor {floor}")
 
 
+def test_all_mode_budget_skips_but_headline_runs(monkeypatch, capsys):
+    """With the time budget already spent, non-headline rows must emit
+    explicit skipped records (never silently dropped) while the headline
+    super row still renders and prints LAST."""
+    ran = []
+
+    def fake_bench_one(variant, scene, tag, size, spp, repeats):
+        ran.append(variant)
+        return {"metric": f"{variant}_pathtracer_throughput",
+                "value": 1.0, "unit": "Mpaths/s/chip", "vs_baseline": 0.01,
+                "floor": bench.FLOORS[variant], "vs_floor": 2.0}
+
+    monkeypatch.setattr(bench, "bench_one", fake_bench_one)
+    monkeypatch.setenv("BENCH_VARIANT", "all")
+    monkeypatch.setenv("BENCH_BUDGET_S", "1e-9")
+    assert bench.main() == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    recs = [json.loads(l) for l in out]
+    assert ran == ["super"]
+    assert len(recs) == len(bench.STD_CONFIG)
+    assert recs[-1]["metric"] == "super_pathtracer_throughput"
+    assert "value" in recs[-1] and "skipped" not in recs[-1]
+    skipped = [r for r in recs if r.get("skipped")]
+    assert len(skipped) == len(bench.STD_CONFIG) - 1
+    assert all("BENCH_BUDGET_S" in r["reason"] for r in skipped)
+
+
 def test_wait_for_backend_skips_on_forced_cpu(monkeypatch):
     """Forced-CPU runs (tests; BENCH_TUNNEL_WAIT_S=0) must not probe the
     tunnel - the probe subprocess would try the real axon backend."""
