@@ -74,6 +74,20 @@ _SEG = 1024                # blocks per scan SEGMENT (131k triangles).
                            # mechanism for meshes beyond the SMEM AABB
                            # budget (tests shrink it to pin the
                            # multi-segment path's exactness)
+_RCHUNK = 256              # blocks per stream-tier exact-refinement AABB
+                           # DMA chunk: the (8, _RCHUNK) f32 SMEM slice
+                           # costs 8 KB - a whole-segment slice
+                           # (8, _SEG) alone would blow the ~32 KB SMEM
+                           # budget.  Chunk starts stay 128-lane aligned
+                           # on hardware because _SEG % _RCHUNK == 0
+                           # (tiny-test configs shrink _SEG below
+                           # _RCHUNK; the chunk grid then anchors at the
+                           # table origin, which interpret mode accepts)
+_STREAM_REFINE = True      # stream tier: refine the interval-gate flags
+                           # with the exact per-lane tests (measured
+                           # 1.70x at equal 65k geometry without it -
+                           # tools/diag_tier_gap.py); False keeps the
+                           # round-3 gate-only behavior for A/Bs
 _TW, _TH = 64, 32          # blocked-mode pixel tile (64 x 32 = _TILE rays):
                            # a compact footprint keeps the tile frustum
                            # narrow so the any-lane AABB skip actually
@@ -486,6 +500,83 @@ def _group_chunks(b0: int, bn: int):
     return out
 
 
+def _refine_flags_stream(tri, box_test, b0: int, bn: int):
+    """EXACT per-lane refinement of the stream tier's interval-gate
+    flags.  The gate alone is a conservative superset that scans
+    ~1.4-1.7x the exact any-lane block union (host sim: 1.43x split
+    gate at 262k; measured on chip at EQUAL 65k geometry: forced-stream
+    1.70x slower than the exact-flag blocked tier,
+    tools/diag_tier_gap.py).  The blocked tier trims the superset with
+    per-block slab+prune tests against its SMEM-resident AABB table -
+    which scales with the mesh and is exactly what the stream tier
+    cannot hold.  Here the same tests run against a DMA-streamed slice:
+    the (8, nb_pad) HBM table (rows 0-5 = box components, column =
+    block) is copied one _RCHUNK-block chunk at a time into an
+    (8, _RCHUNK) SMEM scratch - SMEM stays constant in mesh size - and
+    each gate-flagged block's six scalars feed the stacked ``box_test``;
+    the any-lane flag rows land in flag_mat and ONE cross-lane max per
+    128-block group writes the SEGMENT-LOCAL flag column (flags_v ->
+    flags_s, one DMA per segment).  Chunks none of whose groups have a
+    gate bit set skip their DMA and tests entirely (pl.when on the OR
+    of the chunk's SMEM gate masks - scalar reads, no sync), so sparse
+    tiles pay ~nothing.  _take_list then counts from the refined flags
+    while still walking only gate-set groups: the scan DMAs exactly the
+    blocks the sequential scan could hit, as in the blocked tier."""
+    aabbT = tri["aabbT"]
+    asmem = tri["asmem"]
+    asem = tri["asem"]
+    mat = tri["flag_mat"]
+    flags_v = tri["flags_v"]
+    flags_s = tri["flags_s"]
+    iflags_s = tri["iflags_s"]
+    g_base = b0 // _IGRP
+    segf = flags_v.shape[0]
+    # groups a skipped chunk covers keep this cleared value
+    flags_v[...] = jnp.zeros((segf, 1), jnp.int32)
+    for cs in range((b0 // _RCHUNK) * _RCHUNK, b0 + bn, _RCHUNK):
+        lo, hi = max(cs, b0), min(cs + _RCHUNK, b0 + bn)
+        act = None
+        for grp, u0, u1 in _group_chunks(lo, hi - lo):
+            sel = (1 << u1) - (1 << u0)
+            a = iflags_s[0, grp - g_base] & sel
+            act = a if act is None else act | a
+
+        def _chunk(cs=cs, lo=lo, hi=hi):
+            cp = pltpu.make_async_copy(
+                aabbT.at[:, pl.ds(cs, _RCHUNK)], asmem, asem)
+            cp.start()
+            cp.wait()
+            for g in range(lo, hi, 128):
+                gn = min(128, hi - g)
+                mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
+                for grp, u0, u1 in _group_chunks(g, gn):
+                    mask = iflags_s[0, grp - g_base]
+                    sel = (1 << u1) - (1 << u0)
+
+                    def _blocks(grp=grp, u0=u0, u1=u1, mask=mask,
+                                cs=cs, g=g):
+                        for u in range(u0, u1):
+                            bb = grp * _IGRP + u
+
+                            def _one(bb=bb):
+                                a6 = [asmem[j, bb - cs] for j in range(6)]
+                                mat[pl.ds(bb - g, 1), :] = jnp.max(
+                                    box_test(a6).astype(jnp.int32),
+                                    axis=0, keepdims=True)
+
+                            pl.when(((mask >> u) & 1) == 1)(_one)
+
+                    pl.when((mask & sel) != 0)(_blocks)
+                col = jnp.max(mat[...], axis=1, keepdims=True)
+                wn = min(-(-gn // 8) * 8, segf - (g - b0))
+                flags_v[pl.ds(g - b0, wn), :] = col[:wn]
+
+        pl.when(act != 0)(_chunk)
+    cp = pltpu.make_async_copy(flags_v, flags_s, tri["fsem2"])
+    cp.start()
+    cp.wait()
+
+
 def _flag_prepass(tri, box_test, bundles, neg_t: bool, b0=0, bn=None):
     """Interval-gated take-flag prepass over the block range [b0, b0+bn)
     (one scan segment; defaults to every block).  ``box_test(a6) ->
@@ -515,15 +606,17 @@ def _flag_prepass(tri, box_test, bundles, neg_t: bool, b0=0, bn=None):
         bn = nb - b0
 
     if tri.get("stream"):
-        # STREAM tier (> _MAX_BLOCKED_TRIANGLES): the take flags ARE the
-        # interval-gate bits - the exact per-lane refinement's SMEM
-        # tables (block AABBs at 24 B/block + flag columns) scale with
-        # the mesh, so past the SMEM budget the conservative superset
-        # (measured 1.3x blocks at 20k, 2.3x at 65k) is scanned as-is.
-        # ``box_test`` is unused; correctness is unchanged (the gate is
-        # a superset of the exact union - culling never drops a block
-        # the sequential scan would hit).
+        # STREAM tier (> _MAX_BLOCKED_TRIANGLES): the gate bits land in
+        # segment-local SMEM buffers (constant in mesh size), then the
+        # exact per-lane tests trim the gate's conservative superset
+        # against a DMA-streamed AABB chunk (_refine_flags_stream) -
+        # without the refinement the superset costs 1.70x wall clock at
+        # equal 65k geometry (tools/diag_tier_gap.py).  Correctness is
+        # tier-independent: gate and refined flags are both supersets
+        # of the blocks the sequential scan could hit.
         _interval_union_flags(tri, bundles, neg_t, g0=b0 // _IGRP)
+        if "aabbT" in tri:
+            _refine_flags_stream(tri, box_test, b0, bn)
         return
 
     aabb_ref = tri["aabb"]
@@ -638,9 +731,13 @@ def _take_list(tri, b0=0, bn=None):
         # gl covers blocks b0 + gl*_IGRP ...); list ids stay absolute.
         # bn is always a multiple of _IGRP (n_blocks pads to _MACRO and
         # film_super_mega asserts _MACRO % _IGRP == 0), so no group
-        # straddles a segment boundary.
+        # straddles a segment boundary.  With the exact refinement the
+        # count advances on the REFINED segment-local flags (a subset
+        # of the gate bits, so gate-empty groups still skip safely);
+        # without it the gate bits themselves count.
         iflags_s = tri["iflags_s"]
         cnt_s = tri["cnt"]
+        rflags_s = tri.get("flags_s")
         cnt_s[0, 0] = jnp.int32(0)
         for gl in range(-(-bn // _IGRP)):
             mask = iflags_s[0, gl]
@@ -650,7 +747,10 @@ def _take_list(tri, b0=0, bn=None):
                 for u in range(_IGRP):
                     b = b0 + gl * _IGRP + u
                     list_s[0, c] = b
-                    c = c + ((mask >> u) & 1)
+                    if rflags_s is None:
+                        c = c + ((mask >> u) & 1)
+                    else:
+                        c = c + rflags_s[gl * _IGRP + u, 0]
                 cnt_s[0, 0] = c
 
             pl.when(mask != 0)(_blocks)
@@ -1224,15 +1324,24 @@ _shade_rgb = jax.jit(_shade_rgb)
 def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                  scn_const, neg_t: bool, nt: int, n_blocks: int = 0,
                  carry_t: bool = False, stream: bool = False,
-                 gbox=None):
+                 stream_refine: bool = False, gbox=None):
     if n_blocks and stream:
-        aabb_iv, tbl_any, out_ref, scratch, sem, iflags_v, iflags_s, \
-            fsem, list_s, cnt_s = refs
+        if stream_refine:
+            aabb_iv, tbl_any, aabbT, out_ref, scratch, sem, iflags_v, \
+                iflags_s, fsem, list_s, cnt_s, asmem, asem, flag_mat, \
+                flags_v, flags_s, fsem2 = refs
+        else:
+            aabb_iv, tbl_any, out_ref, scratch, sem, iflags_v, \
+                iflags_s, fsem, list_s, cnt_s = refs
         tri = {"mode": "blocked", "stream": True, "nt": nt,
                "aabb_iv": aabb_iv, "tbl": tbl_any, "scratch": scratch,
                "sem": sem, "n_blocks": n_blocks, "flat": False,
                "iflags_v": iflags_v, "iflags_s": iflags_s, "fsem": fsem,
                "list": list_s, "cnt": cnt_s, "gbox": gbox}
+        if stream_refine:
+            tri.update(aabbT=aabbT, asmem=asmem, asem=asem,
+                       flag_mat=flag_mat, flags_v=flags_v,
+                       flags_s=flags_s, fsem2=fsem2)
     elif n_blocks:
         aabb_ref, aabb_iv, tbl_any, out_ref, scratch, sem, flag_mat, \
             flags_v, flags_s, list_s, fsem, iflags_v, iflags_s, \
@@ -1684,9 +1793,10 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
         gbox = tuple(float(v) for v in np.concatenate(
             [glo - gpad, ghi + gpad]))
         if stream:
-            # stream tier: no exact-flag tables; segment-local interval
-            # bit buffers only (SMEM constant in mesh size).  Segment
-            # boundaries must respect group and lane-tile alignment.
+            # stream tier: segment-local interval bit buffers + a
+            # DMA-chunked exact refinement (SMEM constant in mesh
+            # size).  Segment boundaries must respect group and
+            # lane-tile alignment.
             assert _SEG % _IGRP == 0 and _MACRO % _IGRP == 0, \
                 (_SEG, _MACRO, _IGRP)
             cols = _SEG // _IGRP
@@ -1713,6 +1823,24 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
                               pltpu.SMEM((1, min(_SEG, n_blocks) + 1),
                                          jnp.int32),
                               pltpu.SMEM((1, 1), jnp.int32)]
+            if _STREAM_REFINE:
+                # (8, nb_pad) HBM block-AABB table for the exact
+                # refinement (rows 0-5 = box components; NaN padding
+                # columns fail every test) + segment-local flag
+                # buffers, sized to the largest segment
+                wpad = -(-n_blocks // _RCHUNK) * _RCHUNK
+                aabbT_r = np.full((8, wpad), np.nan, np.float32)
+                aabbT_r[:6, :n_blocks] = aabbs.T
+                tri_inputs.append(jnp.asarray(aabbT_r))
+                tri_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+                segf = min(_SEG, n_blocks)
+                scratch_shapes += [
+                    pltpu.SMEM((8, _RCHUNK), jnp.float32),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.VMEM((128, 128), jnp.int32),
+                    pltpu.VMEM((segf, 1), jnp.int32),
+                    pltpu.SMEM((segf, 1), jnp.int32),
+                    pltpu.SemaphoreType.DMA]
         else:
             tri_inputs = [jnp.asarray(aabbs), jnp.asarray(aabb_iv),
                           jnp.asarray(tblT)]
@@ -1752,6 +1880,7 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
         _mega_kernel, width=width, spp=spp, scn_const=_scene_const(scn),
         neg_t=neg_t, nt=nt, n_blocks=n_blocks, carry_t=carry_t,
         stream=stream and blocked,
+        stream_refine=bool(stream and blocked and _STREAM_REFINE),
         gbox=gbox if blocked else None)
     global _UNROLL
     prev_unroll = _UNROLL

@@ -293,13 +293,16 @@ def test_megakernel_blocked_segmented_scan():
 
 def test_megakernel_stream_tier():
     """Meshes past _MAX_BLOCKED_TRIANGLES run the STREAM tier: take-lists
-    come straight from the segment-sliced interval gate (no exact
-    per-block refinement, no mesh-sized SMEM tables - the gate is a
-    strict superset of the exact union, so skipping the refinement can
-    only scan MORE blocks, never fewer).  Shrink the constants so an
-    interpret-sized torus spans 4 segments; pin equality against the XLA
-    pipeline for the single-sample path (spp=2), the grouped union path
-    (spp=_SPP_GROUP) and the carry-t quirk's sequential seeded traces."""
+    come from the segment-sliced interval gate trimmed by the DMA-chunked
+    exact per-lane refinement (no mesh-sized SMEM tables; gate and
+    refined flags are both supersets of the blocks the sequential scan
+    could hit, so culling can only scan MORE blocks, never fewer).
+    Shrink the constants so an interpret-sized torus spans 4 segments;
+    pin equality against the XLA pipeline for the single-sample path
+    (spp=2), the grouped union path (spp=_SPP_GROUP) and the carry-t
+    quirk's sequential seeded traces - and pin the gate-only path
+    (_STREAM_REFINE off) bit-identical to the refined one (the
+    refinement is pure culling)."""
     from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
     from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
     scn = prep_scene(Scene(
@@ -328,12 +331,20 @@ def test_megakernel_stream_tier():
                                          interpret=True,
                                          force_stream=True, **kw))
         ac = ref_film(key, scn, 40, 158, 2, quirks=REFERENCE_LMEM, **kw)
+        M._STREAM_REFINE = False
+        try:
+            u = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                             quirks=DEFAULT, interpret=True,
+                                             force_stream=True, **kw))
+        finally:
+            M._STREAM_REFINE = True
     finally:
         M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = prev
     assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
     np.testing.assert_allclose(g, ag, rtol=0, atol=ATOL)
     np.testing.assert_allclose(c, ac, rtol=0, atol=ATOL)
+    np.testing.assert_array_equal(u, b)   # refinement is pure culling
 
 
 def test_megakernel_blocked_stream_two_lights():
