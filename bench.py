@@ -55,13 +55,15 @@ FLOORS = {
                              # tunnel day) - 8.6 (good); 34.7-44 amortized
     "bidirectional_dense": 20.0,  # ~100%-live VLP table (compaction OFF
                              # the table): the uncompacted-gather regime
-    "super_stream": 1.0,     # 262144-tri torus (past the reference's
-                             # MAX_TRIANGLES 65536): interval-stream tier,
-                             # segment-local take-lists; measured per-call
-                             # 1.7-3.6 on chip across one day (5.4
-                             # amortized; 1M tier: 1.5 amortized, sweep
-                             # row) - floor guards the pre-rework 0.34
-                             # cliff, not the tunnel's 2x per-call swing
+    "super_stream": 2.0,     # 262144-tri torus (past the reference's
+                             # MAX_TRIANGLES 65536): interval-stream tier
+                             # with exact flag refinement; measured
+                             # per-call 5.46 on chip (11.9 amortized; 1M
+                             # tier: 3.6 amortized, sweep row).  The
+                             # gate-only tier measured 1.7-3.6 per-call
+                             # across one day (2x tunnel swing), so 2.0
+                             # guards a refinement regression while
+                             # leaving bad-day headroom
     "super_sharded": 150.0,  # render_super_sharded on a 1-device mesh at
                              # the headline config: the Pallas-megakernel +
                              # shard_map + psum + traced-spp-offset
