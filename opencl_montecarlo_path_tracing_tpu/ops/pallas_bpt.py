@@ -56,8 +56,13 @@ from .pallas_super import (_BIG, _SUB, _TILE, _TRI_UNROLL, _U32, _threefry,
                            _shade_rgb, _scene_const)
 
 _VLP_UNROLL = 8            # VLP rows per fori step
-_VLP_SPP_GROUP = 4         # spp samples sharing each table pass (see
-                           # pallas_super._SPP_GROUP; swept on chip)
+_VLP_SPP_GROUP = 1         # spp samples sharing each table pass (see
+                           # pallas_super._SPP_GROUP).  Interleaved
+                           # on-chip A/B at 512^2x256 post-stacking
+                           # (tools/diag_sppgroup_other.py): G=1 220.8,
+                           # G=2 216.8, G=4 187.2 Mpaths/s - the
+                           # stacked tall gather already fills the VPU;
+                           # grouping only adds vreg pressure
 _EPS12 = np.float32(1e-12)
 
 # SMEM is ~32KB total on v5e (measured: a 30KB table compiles, 40KB does

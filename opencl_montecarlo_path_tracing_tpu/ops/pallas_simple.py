@@ -31,8 +31,12 @@ from .pallas_super import (_EPS, _BIG, _SUB, _TILE, _U32, _threefry, _unit,
                            _normalize3, _primary_rays_k)
 
 _SPH_UNROLL = 7   # 49 spheres = 7 x 7 rows per fori step
-_SPP_GROUP = 4    # spp samples sharing each sphere-table pass (the
+_SPP_GROUP = 2    # spp samples sharing each sphere-table pass (the
                   # pallas_super._SPP_GROUP recipe: rows read once per
+                  # group).  Interleaved on-chip A/B at 1024^2x256
+                  # post-stacking (tools/diag_sppgroup_other.py):
+                  # G=1 186.1, G=2 194.2, G=4 184.7 Mpaths/s.
+                  # (Original round-2 note: rows read once per
                   # group; bounce loops run in lockstep, masked per sample)
 
 

@@ -45,9 +45,22 @@ _SUB = 16                  # sublane rows per ray tile
 _TILE = _SUB * 128         # rays per grid step
 _TRI_UNROLL = 8            # triangle rows per fori step
 
-_SPP_GROUP = 4             # spp samples sharing each triangle-table pass
-                           # (measured 1024^2x1024: G=2 286, G=4 290,
-                           # G=8 263 Mpaths/s - vreg pressure wins at 8)
+_SPP_GROUP = 1             # SMEM-tier spp samples per group.  The round-2
+                           # sweep (pre-stacking, G separate bodies) read
+                           # G=2 286 / G=4 290 / G=8 263 Mpaths/s; the
+                           # round-3 unified tall (G*SUB, 128) body flipped
+                           # it - interleaved on-chip A/B at 1024^2x1024
+                           # (tools/diag_sppgroup_chip.py): G=1 307.6,
+                           # G=2 294.9, G=4 247.5, G=8 168.3.  Post-
+                           # stacking, vreg pressure beats the shared SMEM
+                           # row reads at every G > 1.
+_SPP_GROUP_BLOCKED = 2     # blocked/stream-tier group: here G also divides
+                           # the take-list prepass and per-block AABB DMA
+                           # (one union take-list per group), so the
+                           # optimum sits higher - interleaved A/B on the
+                           # 20k torus at 512^2x8 amortized
+                           # (tools/diag_sppgroup_blocked.py): G=1 69.7,
+                           # G=2 80.0, G=4 64.7 Mpaths/s
 _TRI_BLOCK = 128           # triangles per Morton block (one DMA chunk)
 _MACRO = 8                 # blocks per macro group: host-side Morton
                            # blocks are ordered near-to-far in groups of
@@ -1356,6 +1369,8 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
     else:
         tbl_ref, out_ref = refs
         tri = {"mode": "smem", "nt": nt, "tbl": tbl_ref}
+    # spp-group size is tier-dependent (see the constants' sweep notes)
+    grp = _SPP_GROUP if tri["mode"] == "smem" else _SPP_GROUP_BLOCKED
     k0 = scalars_ref[0, 0]
     k1 = scalars_ref[0, 1]
     spp_offset = scalars_ref[0, 2]
@@ -1473,7 +1488,7 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
         G x nlights shadow rays - stacked light-major on top - share
         another.  Film accumulation slices back in (s0, s1, ...) order,
         so the image is bit-identical to the single-sample loop."""
-        G = _SPP_GROUP
+        G = grp
         fr, fg, fb = acc
         rid = jnp.concatenate(
             [pixel_index * spp_total
@@ -1562,12 +1577,14 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
 
     zero = jnp.zeros((_SUB, 128), jnp.float32)
     acc = (zero, zero, zero)
-    # paired iterations divide the SMEM row reads (and, in blocked mode,
-    # the prepass/take-list/DMA work) by the rays sharing each pass;
-    # carry_t stays sequential (its traces are dependent)
-    if not carry_t and spp >= _SPP_GROUP:
-        acc = jax.lax.fori_loop(0, spp // _SPP_GROUP, sample_group_body, acc)
-        for tail_s in range((spp // _SPP_GROUP) * _SPP_GROUP, spp):
+    # grouped iterations divide the blocked tiers' prepass/take-list/DMA
+    # work by the rays sharing each pass (G=2 measured fastest there);
+    # the SMEM tier runs ungrouped (G=1: vreg pressure beats the shared
+    # row reads post-stacking - see the constants' sweep notes).
+    # carry_t stays sequential (its traces are dependent).
+    if not carry_t and spp >= grp:
+        acc = jax.lax.fori_loop(0, spp // grp, sample_group_body, acc)
+        for tail_s in range((spp // grp) * grp, spp):
             acc = sample_body(jnp.int32(tail_s), acc)
     else:
         acc = jax.lax.fori_loop(0, spp, sample_body, acc)

@@ -81,16 +81,25 @@ def test_megakernel_spp_window_and_rows():
 
 
 def test_megakernel_spp_group_and_tail():
-    """spp >= _SPP_GROUP runs the grouped loop (samples sharing each
-    triangle-table pass) plus a static tail for the remainder; the film
-    must equal the XLA pipeline for both (content band)."""
+    """spp >= the tier's group size runs the grouped loop (samples
+    stacked along sublanes, sharing each triangle-table pass) plus a
+    static tail for the remainder; the film must equal the XLA pipeline
+    for both (content band).  The production SMEM tier runs G=1 (the
+    round-3 sweep - vreg pressure), so pin the generic G>1 stacked
+    machinery by patching the constant (the blocked tier ships G=2
+    through the same sample_group_body)."""
     scn = prep_scene(small_scene())
     key = make_key(19)
     kw = dict(row_offset=300, rows=8)
-    for spp in (M._SPP_GROUP, M._SPP_GROUP + 1):
-        a = ref_film(key, scn, 24, 308, spp, **kw)
-        b = mega_film(key, scn, 24, 308, spp, **kw)
-        np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    prev = M._SPP_GROUP
+    M._SPP_GROUP = 4
+    try:
+        for spp in (M._SPP_GROUP, M._SPP_GROUP + 1):
+            a = ref_film(key, scn, 24, 308, spp, **kw)
+            b = mega_film(key, scn, 24, 308, spp, **kw)
+            np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    finally:
+        M._SPP_GROUP = prev
 
 
 def test_megakernel_gate():
@@ -254,8 +263,8 @@ def test_megakernel_blocked_segmented_scan():
     block/macro/segment constants so an interpret-sized torus spans 4
     segments, and pin equality against the XLA pipeline on a window
     that sees the mesh (both spp=2 - the grouped-multi path - and
-    spp=%d via sample_group_blocked's union take-lists).""" % (
-        M._SPP_GROUP,)
+    spp=%d via the grouped union take-lists, one group plus a
+    tail sample).""" % (M._SPP_GROUP_BLOCKED + 1,)
     from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
     from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
     scn = prep_scene(Scene(
@@ -279,11 +288,12 @@ def test_megakernel_blocked_segmented_scan():
                                              quirks=DEFAULT,
                                              interpret=True,
                                              force_blocked=True, **kw))
+            gspp = M._SPP_GROUP_BLOCKED + 1
             g = np.asarray(M.film_super_mega(key, scn, 40, 158,
-                                             M._SPP_GROUP, quirks=DEFAULT,
+                                             gspp, quirks=DEFAULT,
                                              interpret=True,
                                              force_blocked=True, **kw))
-            ag = ref_film(key, scn, 40, 158, M._SPP_GROUP, **kw)
+            ag = ref_film(key, scn, 40, 158, gspp, **kw)
         finally:
             M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = prev
         assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
@@ -299,7 +309,7 @@ def test_megakernel_stream_tier():
     could hit, so culling can only scan MORE blocks, never fewer).
     Shrink the constants so an interpret-sized torus spans 4 segments;
     pin equality against the XLA pipeline for the single-sample path
-    (spp=2), the grouped union path (spp=_SPP_GROUP) and the carry-t
+    (spp=2), the grouped union path (one group + tail) and the carry-t
     quirk's sequential seeded traces - and pin the gate-only path
     (_STREAM_REFINE off) bit-identical to the refined one (the
     refinement is pure culling)."""
@@ -322,10 +332,11 @@ def test_megakernel_stream_tier():
         b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
                                          quirks=DEFAULT, interpret=True,
                                          force_stream=True, **kw))
-        g = np.asarray(M.film_super_mega(key, scn, 40, 158, M._SPP_GROUP,
+        gspp = M._SPP_GROUP_BLOCKED + 1
+        g = np.asarray(M.film_super_mega(key, scn, 40, 158, gspp,
                                          quirks=DEFAULT, interpret=True,
                                          force_stream=True, **kw))
-        ag = ref_film(key, scn, 40, 158, M._SPP_GROUP, **kw)
+        ag = ref_film(key, scn, 40, 158, gspp, **kw)
         c = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
                                          quirks=REFERENCE_LMEM,
                                          interpret=True,
@@ -371,13 +382,14 @@ def test_megakernel_blocked_stream_two_lights():
     try:
         assert -(-120 // M._TRI_BLOCK) > M._SEG   # multi-segment
         a = ref_film(key, scn, 40, 158, 2, **kw)
-        ag = ref_film(key, scn, 40, 158, M._SPP_GROUP, **kw)
+        gspp = M._SPP_GROUP_BLOCKED + 1
+        ag = ref_film(key, scn, 40, 158, gspp, **kw)
         for force in ("force_blocked", "force_stream"):
             b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
                                              quirks=DEFAULT, interpret=True,
                                              **{force: True}, **kw))
             g = np.asarray(M.film_super_mega(key, scn, 40, 158,
-                                             M._SPP_GROUP, quirks=DEFAULT,
+                                             gspp, quirks=DEFAULT,
                                              interpret=True,
                                              **{force: True}, **kw))
             np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
@@ -618,6 +630,30 @@ def test_vlp_megakernel_matches_xla():
                                    quirks=DEFAULT, interpret=True,
                                    row_offset=r0, rows=rr))
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL_VLP)
+
+
+def test_vlp_megakernel_spp_group():
+    """The generic G>1 grouped path (G samples sharing each table pass:
+    multi-prim shared traces, multi-point VLP gather, stacked shadow
+    bundles).  Production ships G=1 (the round-3 sweep: 220.8 vs 216.8
+    at G=2, 187.2 at G=4 - tools/diag_sppgroup_other.py), so pin the
+    machinery by patching the constant; spp=G+1 also covers the tail."""
+    scn = prep_scene(small_scene())
+    key = make_key(23)
+    vlps = synth_vlps(seed=5)
+    r0, rr = CONTENT_ROW, 8
+    prev = B._VLP_SPP_GROUP
+    B._VLP_SPP_GROUP = 4
+    try:
+        for spp in (4, 5):
+            a = vlp_ref_film(key, scn, vlps, 40, r0 + rr, spp)[r0:]
+            b = np.asarray(B.film_vlp_mega(key, scn, vlps, 40, r0 + rr,
+                                           spp, quirks=DEFAULT,
+                                           interpret=True,
+                                           row_offset=r0, rows=rr))
+            np.testing.assert_allclose(b, a, rtol=0, atol=ATOL_VLP)
+    finally:
+        B._VLP_SPP_GROUP = prev
 
 
 def test_vlp_megakernel_mlt_vlps_and_window():
