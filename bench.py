@@ -34,15 +34,18 @@ import numpy as np
 # timing variance, raised as kernels improve.  Every bench row emits
 # vs_floor; a value < 1.0 is a regression and fails the run.
 FLOORS = {
-    "super": 180.0,          # north star 100; measured 238-290 r2 (megakernel,
-                             # fused occlusion + spp groups; tunnel contention swings
-                             # single runs ~25% - the floor guards the 135 XLA cliff)
-    "simple": 100.0,         # measured 141-172 r2 (megakernel + spp groups)
-    "nodof": 50.0,           # measured 70-124 r2 (megakernel route)
-    "bidirectional": 130.0,  # measured 149-177 r2 (megakernel + compaction)
-    "metropolis": 90.0,      # measured 128 r2 (megakernel + live compaction)
-    "metropolis_vlpgrid": 85.0,  # measured 122 r2 (masked scan + compaction)
-    "trianglegrid": 10.0,    # measured 17.9 r2 (megakernel route; the
+    "super": 200.0,          # north star 100; measured 306-310 r3 after the
+                             # post-stacking G=1 re-sweep (238-290 r2; tunnel
+                             # contention swings single runs ~25-40% - the
+                             # floor guards the 135 XLA cliff and the G=4
+                             # regression class at ~247)
+    "simple": 120.0,         # measured 177 r3 (G=2 re-sweep; 141-172 r2)
+    "nodof": 80.0,           # measured 167 r3 (routes through the G=1 super
+                             # megakernel; 70-124 r2)
+    "bidirectional": 150.0,  # measured 224 r3 (G=1 VLP kernel; 149-201 r2)
+    "metropolis": 110.0,     # measured 175 r3 (128-163 r2)
+    "metropolis_vlpgrid": 100.0,  # measured 173 r3 (122-172 r2)
+    "trianglegrid": 10.0,    # measured 17.9-18.1 (megakernel route; the
                              # forced-DDA path is 0.2, accel="dda")
     # stress rows (round 3).  These per-call rows at 512^2 x 4 carry
     # only ~1M paths, so the tunnel's blocking-call overhead (measured
@@ -50,11 +53,15 @@ FLOORS = {
     # denominator - floors leave room for a bad tunnel day, and the
     # kernel-throughput story lives in the amortized sweep
     # (tools/bench_largemesh_sweep.py, docs/PERF.md scaling table):
-    "super_largemesh": 3.0,  # 20736-tri torus at 512^2: take-list
+    "super_largemesh": 3.5,  # 20736-tri torus at 512^2: take-list
                              # blocked scan; measured per-call 4.9 (bad
-                             # tunnel day) - 8.6 (good); 34.7-44 amortized
-    "bidirectional_dense": 20.0,  # ~100%-live VLP table (compaction OFF
-                             # the table): the uncompacted-gather regime
+                             # tunnel day) - 8.6 (good), 7.0 r3 at
+                             # G_blocked=2 (80 amortized at 512^2x8)
+    "bidirectional_dense": 80.0,  # ~100%-live VLP table (compaction OFF
+                             # the table): the uncompacted-gather regime.
+                             # The G=1 re-sweep lifted it from the 20-80
+                             # class to 216 (the stacked tall gather
+                             # amortizes dense rows as well as live-few)
     "super_stream": 2.0,     # 262144-tri torus (past the reference's
                              # MAX_TRIANGLES 65536): interval-stream tier
                              # with exact flag refinement; measured
@@ -64,13 +71,13 @@ FLOORS = {
                              # across one day (2x tunnel swing), so 2.0
                              # guards a refinement regression while
                              # leaving bad-day headroom
-    "super_sharded": 150.0,  # render_super_sharded on a 1-device mesh at
+    "super_sharded": 180.0,  # render_super_sharded on a 1-device mesh at
                              # the headline config: the Pallas-megakernel +
                              # shard_map + psum + traced-spp-offset
                              # composition measured ON HARDWARE every round
                              # (VERDICT round 2 weak #5).  Sharding adds no
-                             # measurable overhead (measured 239.9 vs the
-                             # unsharded row's 238-298); the lower floor
+                             # measurable overhead (measured 307.8 vs the
+                             # unsharded row's 309.5, r3); the lower floor
                              # only covers the extra psum/dispatch risk
 }
 
