@@ -414,7 +414,7 @@ def _interval_test(comp, o3, d3, thi, tlo, gate, neg_t: bool):
     return hit
 
 
-def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
+def _interval_union_flags(tri, bundles, neg_t: bool, b0=0):
     """Vector-only interval-frustum gate over ALL blocks.
 
     Each bundle's rays reduce to conservative per-component origin /
@@ -439,7 +439,7 @@ def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
 
     STREAM mode (meshes past the exact-flag SMEM budget, tri["stream"])
     gates one SEGMENT at a time: the gate reads only the segment's
-    group columns [g0, g0 + cols) of the VMEM AABB table and its bit
+    group columns [b0/_IGRP, +cols) of the HBM AABB table and its bit
     masks land in the segment-sized (_IGRP, cols) iflags buffers, so
     SMEM use is constant in mesh size.  The default geometry keeps the
     column slice 128-lane aligned (_SEG = _IGRP * 128).
@@ -458,11 +458,23 @@ def _interval_union_flags(tri, bundles, neg_t: bool, g0: int = 0):
     aiv = tri["aabb_iv"]
     stream = bool(tri.get("stream"))
     if stream:
+        # the gate table lives in HBM as (n_seg, 6*_IGRP, cols) and the
+        # segment's slice is DMA'd in by a dynamic LEADING-dim index
+        # (the double-buffering idiom) - the index may be a TRACED
+        # segment base (the multi-segment scan runs as ONE fori body,
+        # see _seg_loop).  Lane-dim dynamic slicing is avoided
+        # entirely: Mosaic either cannot prove 128-lane alignment
+        # (divisions hide the factor) or, with a provable start, the
+        # 262k program compiled but hung on chip.
         ng = tri["iflags_v"].shape[1]
-        comp = [aiv[pl.ds(c * _IGRP, _IGRP), pl.ds(g0, ng)]
-                for c in range(6)]
+        aiv_v = tri["aiv_v"]
+        cp = pltpu.make_async_copy(aiv.at[b0 // _SEG], aiv_v,
+                                   tri["aivsem"])
+        cp.start()
+        cp.wait()
+        comp = [aiv_v[pl.ds(c * _IGRP, _IGRP), :] for c in range(6)]
     else:
-        assert g0 == 0
+        assert b0 == 0
         ng = aiv.shape[1]
         comp = [aiv[pl.ds(c * _IGRP, _IGRP), :] for c in range(6)]
     zero = np.float32(0.0)
@@ -523,9 +535,9 @@ def _refine_flags_stream(tri, box_test, b0: int, bn: int):
     per-block slab+prune tests against its SMEM-resident AABB table -
     which scales with the mesh and is exactly what the stream tier
     cannot hold.  Here the same tests run against a DMA-streamed slice:
-    the (8, nb_pad) HBM table (rows 0-5 = box components, column =
-    block) is copied one _RCHUNK-block chunk at a time into an
-    (8, _RCHUNK) SMEM scratch - SMEM stays constant in mesh size - and
+    the (n_chunks, 8, rch) HBM table (rows 0-5 = box components, lane =
+    block within chunk) is copied one chunk at a time into an
+    (8, rch) SMEM scratch - SMEM stays constant in mesh size - and
     each gate-flagged block's six scalars feed the stacked ``box_test``;
     the any-lane flag rows land in flag_mat and ONE cross-lane max per
     128-block group writes the SEGMENT-LOCAL flag column (flags_v ->
@@ -542,38 +554,49 @@ def _refine_flags_stream(tri, box_test, b0: int, bn: int):
     flags_v = tri["flags_v"]
     flags_s = tri["flags_s"]
     iflags_s = tri["iflags_s"]
-    g_base = b0 // _IGRP
     segf = flags_v.shape[0]
+    # every index below is SEGMENT-LOCAL; only the chunk DMA start adds
+    # the (possibly TRACED - see _seg_loop) segment base b0.  The chunk
+    # width is fixed at build time (min(_RCHUNK, segf), asmem's lane
+    # extent): full-width DMAs into NaN padding keep hardware lane
+    # tiling happy, and starts stay aligned because _SEG % _RCHUNK == 0
+    # on hardware geometry.
+    rch = asmem.shape[1]
     # groups a skipped chunk covers keep this cleared value
     flags_v[...] = jnp.zeros((segf, 1), jnp.int32)
-    for cs in range((b0 // _RCHUNK) * _RCHUNK, b0 + bn, _RCHUNK):
-        lo, hi = max(cs, b0), min(cs + _RCHUNK, b0 + bn)
+    for cl in range(0, bn, rch):
+        cn = min(rch, bn - cl)
         act = None
-        for grp, u0, u1 in _group_chunks(lo, hi - lo):
-            sel = (1 << u1) - (1 << u0)
-            a = iflags_s[0, grp - g_base] & sel
+        for gl in range(cl // _IGRP, -(-(cl + cn) // _IGRP)):
+            a = iflags_s[0, gl]
             act = a if act is None else act | a
 
-        def _chunk(cs=cs, lo=lo, hi=hi):
+        def _chunk(cl=cl, cn=cn):
+            # the AABB table is (n_chunks, 8, rch) in HBM and the chunk
+            # is picked by a dynamic LEADING-dim index (b0 and cl are
+            # multiples of rch by construction) - lane-dim dynamic
+            # slicing is avoided (see _interval_union_flags)
             cp = pltpu.make_async_copy(
-                aabbT.at[:, pl.ds(cs, _RCHUNK)], asmem, asem)
+                aabbT.at[b0 // rch + cl // rch], asmem, asem)
             cp.start()
             cp.wait()
-            for g in range(lo, hi, 128):
-                gn = min(128, hi - g)
+            for g in range(cl, cl + cn, 128):
+                gn = min(128, cl + cn - g)
                 mat[pl.ds(0, 128), :] = jnp.zeros((128, 128), jnp.int32)
-                for grp, u0, u1 in _group_chunks(g, gn):
-                    mask = iflags_s[0, grp - g_base]
+                for gl in range(g // _IGRP, -(-(g + gn) // _IGRP)):
+                    mask = iflags_s[0, gl]
+                    u0 = max(0, g - gl * _IGRP)
+                    u1 = min(_IGRP, g + gn - gl * _IGRP)
                     sel = (1 << u1) - (1 << u0)
 
-                    def _blocks(grp=grp, u0=u0, u1=u1, mask=mask,
-                                cs=cs, g=g):
+                    def _blocks(gl=gl, u0=u0, u1=u1, mask=mask,
+                                cl=cl, g=g):
                         for u in range(u0, u1):
-                            bb = grp * _IGRP + u
+                            bl = gl * _IGRP + u
 
-                            def _one(bb=bb):
-                                a6 = [asmem[j, bb - cs] for j in range(6)]
-                                mat[pl.ds(bb - g, 1), :] = jnp.max(
+                            def _one(bl=bl):
+                                a6 = [asmem[j, bl - cl] for j in range(6)]
+                                mat[pl.ds(bl - g, 1), :] = jnp.max(
                                     box_test(a6).astype(jnp.int32),
                                     axis=0, keepdims=True)
 
@@ -581,8 +604,8 @@ def _refine_flags_stream(tri, box_test, b0: int, bn: int):
 
                     pl.when((mask & sel) != 0)(_blocks)
                 col = jnp.max(mat[...], axis=1, keepdims=True)
-                wn = min(-(-gn // 8) * 8, segf - (g - b0))
-                flags_v[pl.ds(g - b0, wn), :] = col[:wn]
+                wn = min(-(-gn // 8) * 8, segf - g)
+                flags_v[pl.ds(g, wn), :] = col[:wn]
 
         pl.when(act != 0)(_chunk)
     cp = pltpu.make_async_copy(flags_v, flags_s, tri["fsem2"])
@@ -627,7 +650,7 @@ def _flag_prepass(tri, box_test, bundles, neg_t: bool, b0=0, bn=None):
         # equal 65k geometry (tools/diag_tier_gap.py).  Correctness is
         # tier-independent: gate and refined flags are both supersets
         # of the blocks the sequential scan could hit.
-        _interval_union_flags(tri, bundles, neg_t, g0=b0 // _IGRP)
+        _interval_union_flags(tri, bundles, neg_t, b0=b0)
         if "aabbT" in tri:
             _refine_flags_stream(tri, box_test, b0, bn)
         return
@@ -794,6 +817,37 @@ def _take_list(tri, b0=0, bn=None):
     return cnt_s[0, 0]
 
 
+def _seg_loop(tri, seg_body, carry):
+    """Run ``seg_body(b0, bn, carry) -> carry`` over the scan segments.
+
+    The blocked tier and single-segment streams unroll statically (at
+    most one segment).  Multi-segment STREAM scans trace ONE body inside
+    a ``lax.fori_loop`` with the segment base ``b0`` as a traced int32 -
+    the kernel program is O(1) in mesh size, where the former Python
+    unroll grew it linearly (8 segment bodies at 1M triangles: compile
+    ~26 min through the tunnel, ~80% of it Mosaic/XLA on the unrolled
+    program - tools/diag_stream_compile.py, docs/PERF.md).  This is
+    sound because every per-segment structure is already segment-size
+    STATIC: gate columns are padded to full segments (never-hit
+    sentinel AABBs), flag buffers are segment-local, and the only
+    absolute indices - the gate-slice DMA start, the refine-chunk DMA
+    start, and the take-list block ids - all accept traced offsets
+    (Mosaic supports dynamic-start slices; list ids are scalar SMEM
+    stores).  Per-segment re-pruning is unchanged: the carry (t/occ)
+    threads through the fori exactly as it did through the unroll."""
+    nb = tri["n_blocks"]
+    if not tri.get("stream") or nb <= _SEG:
+        for b0 in range(0, nb, _SEG):
+            carry = seg_body(b0, min(_SEG, nb - b0), carry)
+        return carry
+    n_seg = -(-nb // _SEG)
+
+    def body(s, carry):
+        return seg_body(s * _SEG, _SEG, carry)
+
+    return jax.lax.fori_loop(0, n_seg, body, carry)
+
+
 def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
                       carry, row_update):
     """Morton-blocked triangle scan, take-list form: a vector-only flag
@@ -834,13 +888,13 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
 
         return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, carry)
 
-    for b0 in range(0, tri["n_blocks"], _SEG):
-        bn = min(_SEG, tri["n_blocks"] - b0)
+    def seg_body(b0, bn, carry):
         _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t, occ_tl, carry,
                      b0, bn)
         cnt = _take_list(tri, b0, bn)
-        carry = jax.lax.fori_loop(0, cnt, scan, carry)
-    return carry
+        return jax.lax.fori_loop(0, cnt, scan, carry)
+
+    return _seg_loop(tri, seg_body, carry)
 
 
 def _closest_blocked_stacked(tri, so3, sd3, B: int, neg_t: bool, scar):
@@ -885,17 +939,15 @@ def _closest_blocked_stacked(tri, so3, sd3, B: int, neg_t: bool, scar):
 
         return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, scar)
 
-    for b0 in range(0, tri["n_blocks"], _SEG):
-        bn = min(_SEG, tri["n_blocks"] - b0)
+    def bsl(v, k):
+        return v[k * sub:(k + 1) * sub]
 
-        def box_test(a6, scar=scar):
+    def seg_body(b0, bn, scar):
+        def box_test(a6):
             # one stacked slab+prune; the flag row's cross-lane max
             # unions the bundles exactly as the per-ray OR did
             return _box_hit_closest(tuple(a6), (sox, soy, soz), sinv,
                                     scar[0], scar[1], neg_t)
-
-        def bsl(v, k):
-            return v[k * sub:(k + 1) * sub]
 
         bundles = [{"o": tuple(bsl(v, k) for v in so3),
                     "d": tuple(bsl(v, k) for v in sd3),
@@ -905,8 +957,9 @@ def _closest_blocked_stacked(tri, so3, sd3, B: int, neg_t: bool, scar):
                    for k in range(B)]
         _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
-        scar = jax.lax.fori_loop(0, cnt, scan, scar)
-    return scar
+        return jax.lax.fori_loop(0, cnt, scan, scar)
+
+    return _seg_loop(tri, seg_body, scar)
 
 
 def _pre_tri_state(ox, oy, oz, dx, dy, dz, scn_const, neg_t: bool,
@@ -1151,15 +1204,14 @@ def _occ_blocked_stacked(tri, so3, sd3, stl, B: int, neg_t: bool, socc,
     def bsl(v, k):
         return v[k * sub:(k + 1) * sub]
 
-    for b0 in range(0, tri["n_blocks"], _SEG):
-        bn = min(_SEG, tri["n_blocks"] - b0)
+    def seg_body(b0, bn, socc):
         # gates re-derive from the CURRENT occs: rays occluded by an
         # earlier segment drop out of this segment's union entirely;
         # rays missing the global triangle box (or masked image-
         # irrelevant) never enter it at all
         sgate = (socc == 0) & skeep
 
-        def box_test(a6, sgate=sgate):
+        def box_test(a6):
             return _box_hit_occ(tuple(a6), (sox, soy, soz), sinv, stl,
                                 sgate, neg_t)
 
@@ -1171,8 +1223,9 @@ def _occ_blocked_stacked(tri, so3, sd3, stl, B: int, neg_t: bool, socc,
                    for k in range(B)]
         _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
-        socc = jax.lax.fori_loop(0, cnt, scan, socc)
-    return socc
+        return jax.lax.fori_loop(0, cnt, scan, socc)
+
+    return _seg_loop(tri, seg_body, socc)
 
 
 def _occluded_rays_stacked(tri, so3, sd3, stl, B: int, scn_const,
@@ -1341,16 +1394,17 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
     if n_blocks and stream:
         if stream_refine:
             aabb_iv, tbl_any, aabbT, out_ref, scratch, sem, iflags_v, \
-                iflags_s, fsem, list_s, cnt_s, asmem, asem, flag_mat, \
-                flags_v, flags_s, fsem2 = refs
+                iflags_s, fsem, list_s, cnt_s, aiv_v, aivsem, asmem, \
+                asem, flag_mat, flags_v, flags_s, fsem2 = refs
         else:
             aabb_iv, tbl_any, out_ref, scratch, sem, iflags_v, \
-                iflags_s, fsem, list_s, cnt_s = refs
+                iflags_s, fsem, list_s, cnt_s, aiv_v, aivsem = refs
         tri = {"mode": "blocked", "stream": True, "nt": nt,
                "aabb_iv": aabb_iv, "tbl": tbl_any, "scratch": scratch,
                "sem": sem, "n_blocks": n_blocks, "flat": False,
                "iflags_v": iflags_v, "iflags_s": iflags_s, "fsem": fsem,
-               "list": list_s, "cnt": cnt_s, "gbox": gbox}
+               "list": list_s, "cnt": cnt_s, "gbox": gbox,
+               "aiv_v": aiv_v, "aivsem": aivsem}
         if stream_refine:
             tri.update(aabbT=aabbT, asmem=asmem, asem=asem,
                        flag_mat=flag_mat, flags_v=flags_v,
@@ -1817,42 +1871,61 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
             assert _SEG % _IGRP == 0 and _MACRO % _IGRP == 0, \
                 (_SEG, _MACRO, _IGRP)
             cols = _SEG // _IGRP
-            # every segment's column slice must exist in the padded table
-            need = -(-n_blocks // _SEG) * cols
-            if aabb_iv.shape[1] < need:
-                pad = np.empty((aabb_iv.shape[0], need), np.float32)
-                for c in range(6):
-                    pad[c * _IGRP:(c + 1) * _IGRP] = (
-                        np.float32(3e38) if c < 3 else np.float32(-3e38))
-                pad[:, :aabb_iv.shape[1]] = aabb_iv
-                aabb_iv = pad
-            tri_inputs = [jnp.asarray(aabb_iv), jnp.asarray(tblT)]
+            # the gate table lives in HBM as (n_seg, 6*_IGRP, cpad) and
+            # each segment's slice is DMA'd into the aiv_v scratch by a
+            # dynamic LEADING-dim index (possibly a TRACED segment base
+            # - _seg_loop runs multi-segment scans as ONE fori body,
+            # program size O(1) in mesh size).  The lane dim pads to
+            # >= 128 (Mosaic DMA extents must respect the 128-lane
+            # tiling; default geometry has cols == 128 already) with
+            # never-hit sentinel boxes that produce zero flag bits.
+            segf = min(_SEG, n_blocks)
+            n_seg = -(-n_blocks // _SEG)
+            cpad = max(cols, 128)
+            ng_real = -(-n_blocks // _IGRP)
+            aiv3 = np.empty((n_seg, 6 * _IGRP, cpad), np.float32)
+            for c in range(6):
+                aiv3[:, c * _IGRP:(c + 1) * _IGRP, :] = (
+                    np.float32(3e38) if c < 3 else np.float32(-3e38))
+            for s in range(n_seg):
+                gl0, gl1 = s * cols, min((s + 1) * cols, ng_real)
+                if gl1 > gl0:
+                    aiv3[s, :, :gl1 - gl0] = aabb_iv[:, gl0:gl1]
+            tri_inputs = [jnp.asarray(aiv3), jnp.asarray(tblT)]
             tri_specs = [
-                pl.BlockSpec(aabb_iv.shape, lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ]
             scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
                               pltpu.SemaphoreType.DMA,
-                              pltpu.VMEM((_IGRP, cols), jnp.int32),
-                              pltpu.SMEM((_IGRP, cols), jnp.int32),
+                              pltpu.VMEM((_IGRP, cpad), jnp.int32),
+                              pltpu.SMEM((_IGRP, cpad), jnp.int32),
                               pltpu.SemaphoreType.DMA,
-                              pltpu.SMEM((1, min(_SEG, n_blocks) + 1),
-                                         jnp.int32),
-                              pltpu.SMEM((1, 1), jnp.int32)]
+                              pltpu.SMEM((1, segf + 1), jnp.int32),
+                              pltpu.SMEM((1, 1), jnp.int32),
+                              pltpu.VMEM((6 * _IGRP, cpad), jnp.float32),
+                              pltpu.SemaphoreType.DMA]
             if _STREAM_REFINE:
-                # (8, nb_pad) HBM block-AABB table for the exact
+                # (n_chunks, 8, rch) HBM block-AABB table for the exact
                 # refinement (rows 0-5 = box components; NaN padding
                 # columns fail every test) + segment-local flag
-                # buffers, sized to the largest segment
-                wpad = -(-n_blocks // _RCHUNK) * _RCHUNK
+                # buffers, sized to the largest segment.  Chunk DMAs
+                # are always full-width (rch lanes, picked by a dynamic
+                # leading-dim chunk index), so the padding must cover
+                # whole segments when the scan is multi-segment; rch
+                # divides _SEG so chunk indices are exact.
+                rch = min(_RCHUNK, _SEG)
+                assert _SEG % rch == 0, (_SEG, rch)
+                cover = n_seg * _SEG if n_seg > 1 else n_blocks
+                wpad = -(-cover // rch) * rch
                 aabbT_r = np.full((8, wpad), np.nan, np.float32)
                 aabbT_r[:6, :n_blocks] = aabbs.T
+                aabbT_r = np.ascontiguousarray(
+                    aabbT_r.reshape(8, wpad // rch, rch).swapaxes(0, 1))
                 tri_inputs.append(jnp.asarray(aabbT_r))
                 tri_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-                segf = min(_SEG, n_blocks)
                 scratch_shapes += [
-                    pltpu.SMEM((8, _RCHUNK), jnp.float32),
+                    pltpu.SMEM((8, rch), jnp.float32),
                     pltpu.SemaphoreType.DMA,
                     pltpu.VMEM((128, 128), jnp.int32),
                     pltpu.VMEM((segf, 1), jnp.int32),

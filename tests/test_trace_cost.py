@@ -94,6 +94,37 @@ def _count_eqns(jaxpr, seen=None):
     return n
 
 
+def test_stream_trace_size_constant_in_segments():
+    """Multi-segment STREAM scans trace ONE fori body over the segments
+    (pallas_super._seg_loop), so the kernel program is O(1) in mesh
+    size: shrinking _SEG until the same mesh spans 4 segments must not
+    grow the traced-eqn count meaningfully.  The former Python unroll
+    grew it linearly (8 segment bodies at 1M triangles - a ~26-minute
+    compile, ~80% Mosaic/XLA on the unrolled program)."""
+    base, _ = demo_scene()
+    scn = prep_scene(Scene(
+        sphere_centers=base.sphere_centers, square_kj=base.square_kj,
+        triangles=torus_mesh(n_major=32, n_minor=64),   # 4096 tris = 32
+        lights=base.lights))                            # default blocks
+
+    def count(seg):
+        prev = M._SEG
+        M._SEG = seg
+        try:
+            jaxpr = jax.make_jaxpr(
+                lambda k: M.film_super_mega(k, scn, 64, 32, 4,
+                                            force_stream=True))(make_key(1))
+        finally:
+            M._SEG = prev
+        return _count_eqns(jaxpr.jaxpr)
+
+    one = count(1024)   # 32 blocks -> 1 segment (static path)
+    four = count(8)     # 32 blocks -> 4 segments (one traced fori body)
+    assert four < 1.4 * one + 200, (
+        f"4-segment stream trace has {four} eqns vs {one} single-segment: "
+        "the segment loop is being unrolled again (see _seg_loop)")
+
+
 @pytest.mark.parametrize("force", ["blocked", "stream"])
 def test_unrolled_kernel_trace_eqn_budget(force):
     base, _ = demo_scene()
