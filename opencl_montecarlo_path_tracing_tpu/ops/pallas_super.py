@@ -457,15 +457,15 @@ def _interval_union_flags(tri, bundles, neg_t: bool, b0=0):
     at 65k-262k, 1.22x at 20k)."""
     aiv = tri["aabb_iv"]
     stream = bool(tri.get("stream"))
-    if stream:
-        # the gate table lives in HBM as (n_seg, 6*_IGRP, cols) and the
-        # segment's slice is DMA'd in by a dynamic LEADING-dim index
-        # (the double-buffering idiom) - the index may be a TRACED
-        # segment base (the multi-segment scan runs as ONE fori body,
-        # see _seg_loop).  Lane-dim dynamic slicing is avoided
-        # entirely: Mosaic either cannot prove 128-lane alignment
-        # (divisions hide the factor) or, with a provable start, the
-        # 262k program compiled but hung on chip.
+    if stream and "aiv_v" in tri:
+        # multi-segment: the gate table lives in HBM as
+        # (n_seg, 6*_IGRP, cols) and the segment's slice is DMA'd in by
+        # a dynamic LEADING-dim index (the double-buffering idiom) -
+        # the index may be a TRACED segment base (the multi-segment
+        # scan runs as ONE fori body, see _seg_loop).  Lane-dim dynamic
+        # slicing is avoided entirely: Mosaic either cannot prove
+        # 128-lane alignment (divisions hide the factor) or, with a
+        # provable start, the 262k program compiled but hung on chip.
         ng = tri["iflags_v"].shape[1]
         aiv_v = tri["aiv_v"]
         cp = pltpu.make_async_copy(aiv.at[b0 // _SEG], aiv_v,
@@ -473,6 +473,13 @@ def _interval_union_flags(tri, bundles, neg_t: bool, b0=0):
         cp.start()
         cp.wait()
         comp = [aiv_v[pl.ds(c * _IGRP, _IGRP), :] for c in range(6)]
+    elif stream:
+        # single-segment stream: the (6*_IGRP, cpad) gate table is a
+        # VMEM-resident BlockSpec input - read it directly at zero
+        # per-call cost (the leading index is the constant 0)
+        assert b0 == 0
+        ng = tri["iflags_v"].shape[1]
+        comp = [aiv[pl.ds(c * _IGRP, _IGRP), :] for c in range(6)]
     else:
         assert b0 == 0
         ng = aiv.shape[1]
@@ -557,10 +564,12 @@ def _refine_flags_stream(tri, box_test, b0: int, bn: int):
     segf = flags_v.shape[0]
     # every index below is SEGMENT-LOCAL; only the chunk DMA start adds
     # the (possibly TRACED - see _seg_loop) segment base b0.  The chunk
-    # width is fixed at build time (min(_RCHUNK, segf), asmem's lane
-    # extent): full-width DMAs into NaN padding keep hardware lane
-    # tiling happy, and starts stay aligned because _SEG % _RCHUNK == 0
-    # on hardware geometry.
+    # width is fixed at build time (min(_RCHUNK, _SEG), asmem's lane
+    # extent - it can exceed segf when a forced-stream mesh has fewer
+    # than _RCHUNK blocks; the table pads with NaN either way):
+    # full-width DMAs into NaN padding keep hardware lane tiling happy,
+    # and starts stay aligned because _SEG % _RCHUNK == 0 on hardware
+    # geometry.
     rch = asmem.shape[1]
     # groups a skipped chunk covers keep this cleared value
     flags_v[...] = jnp.zeros((segf, 1), jnp.int32)
@@ -770,7 +779,13 @@ def _take_list(tri, b0=0, bn=None):
         # straddles a segment boundary.  With the exact refinement the
         # count advances on the REFINED segment-local flags (a subset
         # of the gate bits, so gate-empty groups still skip safely);
-        # without it the gate bits themselves count.
+        # without it the gate bits themselves count.  The fori segment
+        # loop always runs bn = _SEG, so the FINAL segment's tail past
+        # n_blocks holds phantom blocks: their NaN gate boxes keep the
+        # masks zero for sign-constrained bundles, and the explicit
+        # ``b < n_blocks`` guard below makes the count exact even for a
+        # degenerate all-sign-mixed bundle half (a phantom id in the
+        # list would DMA past tblT's extent - UB on hardware).
         iflags_s = tri["iflags_s"]
         cnt_s = tri["cnt"]
         rflags_s = tri.get("flags_s")
@@ -782,11 +797,15 @@ def _take_list(tri, b0=0, bn=None):
                 c = cnt_s[0, 0]
                 for u in range(_IGRP):
                     b = b0 + gl * _IGRP + u
+                    # static segment bases walk exact bn (no phantom
+                    # tail); only the traced fori path needs the guard
+                    valid = (1 if isinstance(b, (int, np.integer))
+                             else (b < nb).astype(jnp.int32))
                     list_s[0, c] = b
                     if rflags_s is None:
-                        c = c + ((mask >> u) & 1)
+                        c = c + ((mask >> u) & 1) * valid
                     else:
-                        c = c + rflags_s[gl * _IGRP + u, 0]
+                        c = c + rflags_s[gl * _IGRP + u, 0] * valid
                 cnt_s[0, 0] = c
 
             pl.when(mask != 0)(_blocks)
@@ -828,8 +847,9 @@ def _seg_loop(tri, seg_body, carry):
     ~26 min through the tunnel, ~80% of it Mosaic/XLA on the unrolled
     program - tools/diag_stream_compile.py, docs/PERF.md).  This is
     sound because every per-segment structure is already segment-size
-    STATIC: gate columns are padded to full segments (never-hit
-    sentinel AABBs), flag buffers are segment-local, and the only
+    STATIC: gate columns are padded to full segments (NaN sentinel
+    AABBs that keep phantom gate bits clear, plus an id < n_blocks
+    count guard in _take_list), flag buffers are segment-local, and the only
     absolute indices - the gate-slice DMA start, the refine-chunk DMA
     start, and the take-list block ids - all accept traced offsets
     (Mosaic supports dynamic-start slices; list ids are scalar SMEM
@@ -1392,20 +1412,26 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                  carry_t: bool = False, stream: bool = False,
                  stream_refine: bool = False, gbox=None):
     if n_blocks and stream:
-        if stream_refine:
-            aabb_iv, tbl_any, aabbT, out_ref, scratch, sem, iflags_v, \
-                iflags_s, fsem, list_s, cnt_s, aiv_v, aivsem, asmem, \
-                asem, flag_mat, flags_v, flags_s, fsem2 = refs
-        else:
-            aabb_iv, tbl_any, out_ref, scratch, sem, iflags_v, \
-                iflags_s, fsem, list_s, cnt_s, aiv_v, aivsem = refs
+        # single-segment streams (n_blocks <= _SEG) keep the gate table
+        # VMEM-resident and carry no aiv_v/aivsem scratch - the ref
+        # layout is derived from n_blocks, mirroring film_super_mega
+        it = list(refs)
+        aabb_iv, tbl_any = it.pop(0), it.pop(0)
+        aabbT = it.pop(0) if stream_refine else None
+        out_ref, scratch, sem, iflags_v, iflags_s, fsem, list_s, \
+            cnt_s = it[:8]
+        it = it[8:]
         tri = {"mode": "blocked", "stream": True, "nt": nt,
                "aabb_iv": aabb_iv, "tbl": tbl_any, "scratch": scratch,
                "sem": sem, "n_blocks": n_blocks, "flat": False,
                "iflags_v": iflags_v, "iflags_s": iflags_s, "fsem": fsem,
-               "list": list_s, "cnt": cnt_s, "gbox": gbox,
-               "aiv_v": aiv_v, "aivsem": aivsem}
+               "list": list_s, "cnt": cnt_s, "gbox": gbox}
+        if n_blocks > _SEG:
+            aiv_v, aivsem = it[:2]
+            it = it[2:]
+            tri.update(aiv_v=aiv_v, aivsem=aivsem)
         if stream_refine:
+            asmem, asem, flag_mat, flags_v, flags_s, fsem2 = it
             tri.update(aabbT=aabbT, asmem=asmem, asem=asem,
                        flag_mat=flag_mat, flags_v=flags_v,
                        flags_s=flags_s, fsem2=fsem2)
@@ -1770,6 +1796,28 @@ def _aabb_interval_rows(aabbs):
     return out
 
 
+def _stream_gate_table(aabb_iv, n_blocks, n_seg, cols, cpad):
+    """Segment-sliced HBM gate table (n_seg, 6*_IGRP, cpad) for the
+    stream tier.  Group columns past the real mesh - the lane padding to
+    cpad and the final segment's tail when n_blocks % _SEG != 0 - carry
+    NaN sentinel boxes: NaN propagates through the interval slab's
+    min/max chains and fails ``exi >= ent`` on every sign-constrained
+    bundle half, so phantom groups produce zero gate bits (the
+    refinement's chunk skips and the take-list's group skips stay
+    effective on the padded tail).  An inverted (+big, -big) fill would
+    do the opposite - the slab takes [min, max] over the two plane
+    candidates, making an inverted box ALWAYS-HIT (see _tri_blocks) -
+    and with the gate-only path that flagged phantom blocks past
+    tblT's extent into the scan's take-list."""
+    ng_real = -(-n_blocks // _IGRP)
+    aiv3 = np.full((n_seg, 6 * _IGRP, cpad), np.nan, np.float32)
+    for s in range(n_seg):
+        gl0, gl1 = s * cols, min((s + 1) * cols, ng_real)
+        if gl1 > gl0:
+            aiv3[s, :, :gl1 - gl0] = aabb_iv[:, gl0:gl1]
+    return aiv3
+
+
 def _scene_const(scn):
     return {
         "square_k": tuple(float(v) for v in scn.square_k),
@@ -1878,33 +1926,43 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
             # program size O(1) in mesh size).  The lane dim pads to
             # >= 128 (Mosaic DMA extents must respect the 128-lane
             # tiling; default geometry has cols == 128 already) with
-            # never-hit sentinel boxes that produce zero flag bits.
+            # NaN sentinel boxes (NaN fails the interval slab on any
+            # sign-constrained bundle half, so phantom groups past
+            # n_blocks keep zero gate bits - an INVERTED (+big, -big)
+            # fill would pass as always-hit, see _tri_blocks; the
+            # take-list count additionally guards ids < n_blocks).
             segf = min(_SEG, n_blocks)
             n_seg = -(-n_blocks // _SEG)
             cpad = max(cols, 128)
-            ng_real = -(-n_blocks // _IGRP)
-            aiv3 = np.empty((n_seg, 6 * _IGRP, cpad), np.float32)
-            for c in range(6):
-                aiv3[:, c * _IGRP:(c + 1) * _IGRP, :] = (
-                    np.float32(3e38) if c < 3 else np.float32(-3e38))
-            for s in range(n_seg):
-                gl0, gl1 = s * cols, min((s + 1) * cols, ng_real)
-                if gl1 > gl0:
-                    aiv3[s, :, :gl1 - gl0] = aabb_iv[:, gl0:gl1]
-            tri_inputs = [jnp.asarray(aiv3), jnp.asarray(tblT)]
-            tri_specs = [
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ]
+            aiv3 = _stream_gate_table(aabb_iv, n_blocks, n_seg, cols, cpad)
+            if n_seg == 1:
+                # single-segment stream meshes keep the gate table
+                # VMEM-resident (BlockSpec) - no per-call DMA + wait in
+                # the prepass; only multi-segment scans stream it from
+                # HBM by the traced segment index
+                tri_inputs = [jnp.asarray(aiv3[0]), jnp.asarray(tblT)]
+                tri_specs = [
+                    pl.BlockSpec((6 * _IGRP, cpad), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ]
+            else:
+                tri_inputs = [jnp.asarray(aiv3), jnp.asarray(tblT)]
+                tri_specs = [
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ]
             scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
                               pltpu.SemaphoreType.DMA,
                               pltpu.VMEM((_IGRP, cpad), jnp.int32),
                               pltpu.SMEM((_IGRP, cpad), jnp.int32),
                               pltpu.SemaphoreType.DMA,
                               pltpu.SMEM((1, segf + 1), jnp.int32),
-                              pltpu.SMEM((1, 1), jnp.int32),
-                              pltpu.VMEM((6 * _IGRP, cpad), jnp.float32),
-                              pltpu.SemaphoreType.DMA]
+                              pltpu.SMEM((1, 1), jnp.int32)]
+            if n_seg > 1:
+                scratch_shapes += [
+                    pltpu.VMEM((6 * _IGRP, cpad), jnp.float32),
+                    pltpu.SemaphoreType.DMA]
             if _STREAM_REFINE:
                 # (n_chunks, 8, rch) HBM block-AABB table for the exact
                 # refinement (rows 0-5 = box components; NaN padding

@@ -358,6 +358,91 @@ def test_megakernel_stream_tier():
     np.testing.assert_array_equal(u, b)   # refinement is pure culling
 
 
+def test_stream_gate_table_nan_sentinels():
+    """The stream gate table's phantom columns - lane padding to cpad
+    AND the final segment's tail when n_blocks % _SEG != 0 - must be
+    NaN, not inverted (+big, -big) boxes: the interval slab computes
+    [min, max] over the two plane candidates, so an INVERTED box is
+    ALWAYS-HIT while NaN fails every sign-constrained test.  With the
+    old +-3e38 fill, any fori-run stream mesh with n_blocks % _SEG != 0
+    set gate bits on phantom blocks past tblT's extent (advisor
+    finding, round 3)."""
+    rng = np.random.default_rng(11)
+    igrp = M._IGRP
+    nb = 5 * igrp                      # 5 real groups
+    aabbs = np.empty((nb, 6), np.float32)
+    lo = rng.uniform(-5, 5, (nb, 3)).astype(np.float32)
+    aabbs[:, :3] = lo
+    aabbs[:, 3:] = lo + rng.uniform(0.1, 2, (nb, 3)).astype(np.float32)
+    aiv = M._aabb_interval_rows(aabbs)
+    n_seg, cols = 3, 2                 # 6 column slots for 5 real groups
+    aiv3 = M._stream_gate_table(aiv, nb, n_seg, cols, cpad=128)
+    assert aiv3.shape == (n_seg, 6 * igrp, 128)
+    # real columns intact
+    np.testing.assert_array_equal(aiv3[0, :, :cols], aiv[:, 0:2])
+    np.testing.assert_array_equal(aiv3[2, :, :1], aiv[:, 4:5])
+    # every phantom slot (tail column of the last segment + lane pad) NaN
+    assert np.isnan(aiv3[2, :, 1:]).all()
+    assert np.isnan(aiv3[:, :, cols:]).all()
+
+    # semantic pin: a sign-constrained bundle hits the real boxes but
+    # NEVER a NaN box, while the inverted fill passes as always-hit
+    def hit_row(comp6):
+        comp = tuple(np.broadcast_to(np.float32(v), (igrp, 1))
+                     for v in comp6)
+        o = tuple(np.zeros((8, 128), np.float32) + np.float32(c)
+                  for c in (0.0, 0.0, 0.0))
+        d = tuple(np.full((8, 128), np.float32(c))
+                  for c in (1.0, 0.5, 0.25))   # strictly signed
+        return np.asarray(M._interval_test(comp, o, d, None, None,
+                                           None, False))
+    assert not hit_row([np.nan] * 6).any()
+    assert hit_row([np.float32(3e38)] * 3 + [np.float32(-3e38)] * 3).all()
+    assert hit_row([1.0, 0.5, 0.25, 2.0, 1.0, 0.5]).all()  # on-axis box
+
+
+def test_megakernel_stream_tail_segment():
+    """n_blocks % _SEG != 0: the fori segment loop runs the FINAL
+    segment with bn = _SEG, so its tail holds phantom blocks.  NaN gate
+    sentinels + the take-list's id < n_blocks count guard must keep
+    them out of the scan.  120 tris at block 8 -> 16 blocks, _SEG=6 ->
+    segments (6, 6, 4+2 phantom); pin both the refined and gate-only
+    paths against the XLA pipeline."""
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
+    from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
+    scn = prep_scene(Scene(
+        sphere_centers=np.zeros((0, 3), np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=torus_mesh(center=(17.959, 4.252, 10.25),
+                             n_major=10, n_minor=6),
+        lights=np.array([[10, 4, 10, 200]], np.float32),
+    ))
+    key = make_key(61)
+    kw = dict(row_offset=150, rows=8)
+    prev = M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP
+    M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = 8, 2, 6, 2
+    try:
+        nb = -(-120 // M._TRI_BLOCK)
+        nb = -(-nb // M._MACRO) * M._MACRO
+        assert nb > M._SEG and nb % M._SEG != 0   # phantom tail active
+        a = ref_film(key, scn, 40, 158, 2, **kw)
+        b = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                         quirks=DEFAULT, interpret=True,
+                                         force_stream=True, **kw))
+        M._STREAM_REFINE = False
+        try:
+            u = np.asarray(M.film_super_mega(key, scn, 40, 158, 2,
+                                             quirks=DEFAULT, interpret=True,
+                                             force_stream=True, **kw))
+        finally:
+            M._STREAM_REFINE = True
+    finally:
+        M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = prev
+    assert np.asarray(a).var() > 1e-5   # mesh visible, not vacuous
+    np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    np.testing.assert_array_equal(u, b)   # refinement is pure culling
+
+
 def test_megakernel_blocked_stream_two_lights():
     """Shared shadow-ray scans with MORE THAN ONE light: each sample
     contributes one occlusion bundle PER LIGHT to the union take-list
