@@ -192,7 +192,8 @@ def _mutate(key, scn, quirks, verify_eps, light_origin, v, length, rnd,
 
 
 def mlt_vlps(key, scn: SceneArrays, n_seedpaths: int, mutation_rounds: int,
-             quirks: Quirks = DEFAULT, verify_eps: float = 1e-3):
+             quirks: Quirks = DEFAULT, verify_eps: float = 1e-3,
+             chain0: int = 0, chains: int | None = None):
     """Seed + mutate + emit: (nlights * n_seedpaths * 4, 4) VLPs.
 
     total_paths scaling: base intensity / (total_paths / 256) with the
@@ -203,23 +204,60 @@ def mlt_vlps(key, scn: SceneArrays, n_seedpaths: int, mutation_rounds: int,
     ~free throughput).  Every threefry draw keys on the per-light chain
     index and site, so draws, VLP values and output ordering are
     bit-identical to the per-light loop - the CRN tests against
-    oracle_mlt.py pin this."""
-    nlights = int(scn.lights.shape[0])
-    B = n_seedpaths
-    total_paths = B * nlights
-    scale_den = max(1, total_paths // 256)
-    if nlights == 0:
-        return jnp.zeros((0, 4), jnp.float32)
+    oracle_mlt.py pin this.
 
+    ``chain0``/``chains`` restrict to the chain window
+    [chain0, chain0+chains) of each light (result
+    (nlights * 4 * chains, 4), layout [light][slot][chain]): the sharded
+    light pass runs a disjoint window per device and all-gathers.  Draws
+    key on the GLOBAL chain index (and scale_den on the global
+    n_seedpaths), so window rows are bit-identical to the same rows of
+    the full run; ``chain0`` may be a traced scalar."""
+    if int(scn.lights.shape[0]) == 0:
+        return jnp.zeros((0, 4), jnp.float32)
+    seed = mlt_seed(key, scn, n_seedpaths, quirks, chain0, chains)
+    return mlt_mutate_emit(key, scn, n_seedpaths, mutation_rounds, quirks,
+                           verify_eps, seed, chain0, chains)
+
+
+def _chain_layout(scn, n_seedpaths, chain0, chains):
+    nlights = int(scn.lights.shape[0])
+    B = chains if chains is not None else n_seedpaths
     lp = jnp.repeat(jnp.asarray(scn.lights[:, :3], jnp.float32), B, axis=0)
     intensity = jnp.repeat(jnp.asarray(scn.lights[:, 3], jnp.float32), B)
     light_idx = jnp.repeat(jnp.arange(nlights, dtype=jnp.uint32), B)
-    chain = jnp.tile(jnp.arange(B, dtype=jnp.uint32), nlights)
+    chain = jnp.tile(jnp.arange(B, dtype=jnp.uint32) + jnp.uint32(chain0),
+                     nlights)
+    return nlights, B, lp, intensity, light_idx, chain
 
+
+def mlt_seed(key, scn: SceneArrays, n_seedpaths: int,
+             quirks: Quirks = DEFAULT, chain0: int = 0,
+             chains: int | None = None):
+    """The seed-path stage alone (the reference's ``lightTracer`` kernel,
+    vlpgrid .c:182-221 dispatch): returns the (v, length) chain state the
+    Metropolis stage mutates.  Split out so the staged CLI can time the
+    two light kernels separately, like the reference's per-event report."""
+    nlights, B, lp, _, light_idx, chain = _chain_layout(
+        scn, n_seedpaths, chain0, chains)
     build = jnp.ones(nlights * B, bool)
-    v, length = _random_path(key, scn, quirks, lp,
-                             np.uint32(_SITE_SEED) + np.uint32(4) * light_idx,
-                             build, chain)
+    return _random_path(key, scn, quirks, lp,
+                        np.uint32(_SITE_SEED) + np.uint32(4) * light_idx,
+                        build, chain)
+
+
+def mlt_mutate_emit(key, scn: SceneArrays, n_seedpaths: int,
+                    mutation_rounds: int, quirks: Quirks = DEFAULT,
+                    verify_eps: float = 1e-3, seed_state=None,
+                    chain0: int = 0, chains: int | None = None):
+    """Mutation rounds + VLP emission (the reference's
+    ``MetropolisLightTracer`` kernel, vlpgrid .c:223-264 dispatch) on the
+    seed state from :func:`mlt_seed`."""
+    nlights, B, lp, intensity, light_idx, chain = _chain_layout(
+        scn, n_seedpaths, chain0, chains)
+    total_paths = n_seedpaths * nlights
+    scale_den = max(1, total_paths // 256)
+    v, length = seed_state
 
     rounds = jnp.uint32(max(1, mutation_rounds))
 
@@ -254,12 +292,17 @@ def mlt_vlps(key, scn: SceneArrays, n_seedpaths: int, mutation_rounds: int,
 def film_metropolis(key, scn: SceneArrays, width, height, spp, spp_offset,
                     spp_total, n_seedpaths, mutation_rounds, quirks,
                     max_bounces=C.MAX_BOUNCES, use_grid: bool = False,
-                    grid_modifier: float = 3.0, verify_eps: float = 1e-3):
-    vlps = mlt_vlps(key, scn, n_seedpaths, mutation_rounds, quirks,
-                    verify_eps)
-    grid = None
-    if use_grid:
-        res = vlpmod.vlp_grid_static_res(int(vlps.shape[0]), grid_modifier)
+                    grid_modifier: float = 3.0, verify_eps: float = 1e-3,
+                    precomputed_vlps=None, precomputed_grid=None,
+                    grid_res=None):
+    vlps = (precomputed_vlps if precomputed_vlps is not None
+            else mlt_vlps(key, scn, n_seedpaths, mutation_rounds, quirks,
+                          verify_eps))
+    grid = precomputed_grid
+    if use_grid and grid is None:
+        res = (grid_res if grid_res is not None else
+               vlpmod.vlp_grid_static_res(int(vlps.shape[0]),
+                                          grid_modifier))
         grid = vlpmod.build_vlp_grid(vlps, res)
     from .bidirectional import _film_vlp_mega_maybe
     film = _film_vlp_mega_maybe(key, scn, vlps, grid, width, height, spp,
@@ -283,16 +326,50 @@ def render_metropolis(key, scene: Scene | SceneArrays, width: int = 512,
                       quirks: Quirks = DEFAULT,
                       max_bounces: int = C.MAX_BOUNCES,
                       use_grid: bool = False, grid_modifier: float = 3.0,
-                      verify_eps: float = 1e-3):
+                      verify_eps: float = 1e-3,
+                      dynamic_grid_res: bool = False):
     """Render with Metropolis light transport; CLI mirrors the reference's
     [nseedpaths] [mutation_rounds] (+ [CELL_SIZE_MODIFIER] for the grid
-    variant; .c:297-315, vlpgrid .c:429-451)."""
+    variant; .c:297-315, vlpgrid .c:429-451).
+
+    ``dynamic_grid_res=True`` is the opt-in REFERENCE-PARITY grid mode:
+    the VLP box is min/max-reduced on device and read back to the host
+    (the reference's one mid-pipeline blocking sync, vlpgrid .c:609),
+    and the grid resolution is derived from the box per .c:629-636
+    (ops/vlp.py::vlp_grid_dynamic_res) so CELL_SIZE_MODIFIER shapes the
+    partition exactly as the reference's does.  The default static mode
+    keeps the whole pipeline device-resident under one jit."""
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
     if spp_total is None:
         spp_total = spp
     cfg = (scn.fingerprint(), width, height, spp, spp_offset, spp_total,
            n_seedpaths, mutation_rounds, quirks, max_bounces, use_grid,
            grid_modifier, verify_eps)
+    if use_grid and dynamic_grid_res:
+        ecfg = ("mlt-emit", scn.fingerprint(), n_seedpaths,
+                mutation_rounds, quirks, verify_eps)
+        emit = _COMPILED.get(ecfg)
+        if emit is None:
+            emit = jax.jit(lambda k: mlt_vlps(
+                k, scn, n_seedpaths, mutation_rounds, quirks, verify_eps))
+            _COMPILED[ecfg] = emit
+        vlps = emit(key)
+        bounds = _COMPILED.setdefault(
+            "vlp-bounds", jax.jit(vlpmod.vlp_bounds))
+        # THE host sync: the reference's blocking box read (.c:609)
+        vmin, vmax = (np.asarray(b) for b in bounds(vlps))
+        res = vlpmod.vlp_grid_dynamic_res(vmin, vmax, int(vlps.shape[0]),
+                                          grid_modifier)
+        rcfg = cfg + ("dynres", res)
+        fn = _COMPILED.get(rcfg)
+        if fn is None:
+            fn = jax.jit(lambda k, v: film_metropolis(
+                k, scn, width, height, spp, spp_offset, spp_total,
+                n_seedpaths, mutation_rounds, quirks, max_bounces,
+                use_grid, grid_modifier, verify_eps, precomputed_vlps=v,
+                grid_res=res))
+            _COMPILED[rcfg] = fn
+        return fn(key, vlps)
     fn = _COMPILED.get(cfg)
     if fn is None:
         fn = jax.jit(lambda k: film_metropolis(

@@ -74,17 +74,27 @@ def vlp_from_light_sample(o, direction, light_intensity, scale_den,
 
 
 def emit_vlps(key, scn: SceneArrays, n_vlp: int, quirks: Quirks = DEFAULT,
-              tri_override=None):
+              tri_override=None, gi0: int = 0, count: int | None = None):
     """lightTracer pass (ocl:280-326): (nlights * n_vlp, 4) VLPs, laid out
     vlp[gi + l * n_vlp] like the reference's strided write (ocl:324).
 
     total_vlp scaling: intensity /= (total_vlp / 512) with the reference's
     INTEGER division (ocl:267), guarded to >= 1 (the reference divides by
-    zero when total_vlp < 512)."""
+    zero when total_vlp < 512).
+
+    ``gi0``/``count`` restrict emission to the work-item window
+    [gi0, gi0+count) of each light - the sharded light pass
+    (parallel/mesh.py) gives each device a disjoint window and
+    all-gathers the table.  Every draw keys on the GLOBAL gi (and
+    scale_den on the global n_vlp), so a window's rows are bit-identical
+    to the same rows of the full emission; ``gi0`` may be a traced
+    scalar (device index inside shard_map)."""
     nlights = int(scn.lights.shape[0])
     total_vlp = n_vlp * nlights
     scale_den = max(1, total_vlp // 512)
-    gi = jnp.arange(n_vlp, dtype=jnp.uint32)
+    if count is None:
+        count = n_vlp
+    gi = jnp.arange(count, dtype=jnp.uint32) + jnp.uint32(gi0)
 
     dirs = []
     for l in range(nlights):
@@ -95,7 +105,7 @@ def emit_vlps(key, scn: SceneArrays, n_vlp: int, quirks: Quirks = DEFAULT,
     for l in range(nlights):
         lp = scn.lights[l, :3]
         intensity = scn.lights[l, 3]
-        o = jnp.broadcast_to(jnp.asarray(lp, jnp.float32), (n_vlp, 3))
+        o = jnp.broadcast_to(jnp.asarray(lp, jnp.float32), (count, 3))
         d = dirs[0] if quirks.reuse_light_direction else dirs[l]
         out.append(vlp_from_light_sample(o, d, np.float32(intensity),
                                          scale_den, scn, quirks,
@@ -195,6 +205,33 @@ def vlp_grid_static_res(n_vlp_total: int, modifier: float = 3.0,
     r = int(np.floor(np.cbrt(max(1.0, modifier * n_vlp_total))))
     r = max(1, min(r, max_res))
     return (r, r, r)
+
+
+def vlp_grid_dynamic_res(vmin, vmax, n_vlp_total: int,
+                         modifier: float = 3.0, max_res: int = 128):
+    """The reference's box-derived grid resolution (vlpgrid
+    .c:629-636), HOST math on a reduced bounding box:
+
+        grid_size = vmax - vmin
+        cubeRoot  = cbrt(CELL_SIZE_MODIFIER * N_VLP / prod(grid_size))
+        res_i     = clamp(floor(grid_size_i * cubeRoot), 1, 128)
+
+    so CELL_SIZE_MODIFIER shapes the partition anisotropically with the
+    box, unlike :func:`vlp_grid_static_res`'s count-based cube.  Used by
+    the opt-in ``dynamic_grid_res`` parity mode, which reproduces the
+    reference's single mid-pipeline device->host sync (the blocking
+    box read, .c:609) to obtain ``vmin``/``vmax``."""
+    size = np.maximum(np.asarray(vmax, np.float64)
+                      - np.asarray(vmin, np.float64), 0.0)
+    denom = float(size[0] * size[1] * size[2])
+    # degenerate/empty boxes (no live VLPs): the reference would divide
+    # by zero; clamp to the 1x1x1 grid
+    if not np.isfinite(denom) or denom <= 0.0:
+        return (1, 1, 1)
+    cube = np.cbrt(modifier * n_vlp_total / denom)
+    res = tuple(int(max(1, min(int(np.floor(size[i] * cube)), max_res)))
+                for i in range(3))
+    return res
 
 
 def build_vlp_grid(vlps, res, cap: int = gridmod.MAX_NELS_PER_CELL):

@@ -126,22 +126,61 @@ def render_bidirectional_sharded(key, scene, width: int, height: int,
                                  spp: int, mesh: Mesh | None = None,
                                  n_vlp: int = 512,
                                  quirks: Quirks = DEFAULT,
-                                 use_grid: bool = False):
-    """spp-sharded bidirectional render: every device emits the SAME VLP set
-    (same key -> identical emission, no communication needed) and renders
-    its sample window; films psum over ICI."""
+                                 use_grid: bool = False,
+                                 light_pass: str = "sharded"):
+    """spp-sharded bidirectional render.
+
+    ``light_pass="sharded"`` (default): each device emits only the
+    n_vlp/n work-item window of the lightTracer pass (ops/vlp.py::
+    emit_vlps gi window - every draw keys on the GLOBAL work-item id,
+    so window rows are bit-identical to the full emission) and the VLP
+    table is ``all_gather``-ed over ICI, reassembled to the reference's
+    vlp[gi + l*n_vlp] layout.  Emission work scales 1/n instead of
+    being replicated per device; the film is bit-exact vs replicated
+    (tests/test_parallel.py pins all three: sharded == replicated ==
+    single-device).
+
+    ``light_pass="replicated"``: every device emits the SAME full VLP
+    set (same key -> identical emission, no communication)."""
     from ..models.bidirectional import film_bidirectional
+    from ..ops import vlp as vlpmod
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
     if mesh is None:
         mesh = make_spp_mesh()
+    axis = tuple(mesh.shape.keys())[0]
+    n = mesh.devices.size
+    nlights = int(scn.lights.shape[0])
+    if light_pass == "sharded" and (n_vlp % n or nlights == 0):
+        light_pass = "replicated"   # indivisible window / no lights
     cfg = ("bpt", scn.fingerprint(), width, height, spp, n_vlp, quirks,
-           use_grid, _mesh_key(mesh))
+           use_grid, light_pass, _mesh_key(mesh))
 
     def make():
-        def film_fn(k, local, offset, total):
-            return film_bidirectional(k, scn, width, height, local, offset,
-                                      total, n_vlp, quirks, use_grid=use_grid)
-        return jax.jit(shard_spp(film_fn, mesh, spp))
+        if spp % n:
+            raise ValueError(f"spp={spp} not divisible by mesh size {n}")
+        local = spp // n
+        localv = n_vlp // n
+
+        def body(k):
+            idx = jax.lax.axis_index(axis)
+            if light_pass == "sharded":
+                part = vlpmod.emit_vlps(
+                    k, scn, n_vlp, quirks,
+                    gi0=idx * jnp.uint32(localv), count=localv)
+                g = jax.lax.all_gather(part, axis)  # (n, nlights*localv, 4)
+                vlps = (g.reshape(n, nlights, localv, 4)
+                        .transpose(1, 0, 2, 3)
+                        .reshape(nlights * n_vlp, 4))
+            else:
+                vlps = vlpmod.emit_vlps(k, scn, n_vlp, quirks)
+            film = film_bidirectional(k, scn, width, height, local,
+                                      idx * jnp.uint32(local), spp, n_vlp,
+                                      quirks, use_grid=use_grid,
+                                      precomputed_vlps=vlps)
+            return jax.lax.psum(film, axis)
+
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(),),
+                                 out_specs=P(), check_vma=False))
 
     return _cached(cfg, make)(key)
 
@@ -151,22 +190,63 @@ def render_metropolis_sharded(key, scene, width: int, height: int,
                               n_seedpaths: int = 512,
                               mutation_rounds: int = 8,
                               quirks: Quirks = DEFAULT,
-                              use_grid: bool = False):
-    """spp-sharded Metropolis render (same replication strategy: chains are
-    keyed on (key, chain id), so every device derives the identical VLPs)."""
-    from ..models.metropolis import film_metropolis
+                              use_grid: bool = False,
+                              light_pass: str = "sharded"):
+    """spp-sharded Metropolis render.
+
+    ``light_pass="sharded"`` (default): each device runs only the
+    n_seedpaths/n chain window of the seed/Mutate/emit pipeline
+    (models/metropolis.py::mlt_vlps chain window - draws key on the
+    GLOBAL chain index, so window rows are bit-identical) and the VLP
+    table is ``all_gather``-ed and reassembled to the reference's
+    light-major, slot-minor layout.  This removes the n-fold replicated
+    chain work (the sequential bottleneck at default configs:
+    ~106 ms/render, docs/PERF.md).
+
+    ``light_pass="replicated"``: every device derives the identical
+    full VLP set (chains keyed on (key, chain id), no communication)."""
+    from ..models.metropolis import film_metropolis, mlt_vlps
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
     if mesh is None:
         mesh = make_spp_mesh()
+    axis = tuple(mesh.shape.keys())[0]
+    n = mesh.devices.size
+    nlights = int(scn.lights.shape[0])
+    if light_pass == "sharded" and (n_seedpaths % n or nlights == 0):
+        light_pass = "replicated"
     cfg = ("mlt", scn.fingerprint(), width, height, spp, n_seedpaths,
-           mutation_rounds, quirks, use_grid, _mesh_key(mesh))
+           mutation_rounds, quirks, use_grid, light_pass, _mesh_key(mesh))
 
     def make():
-        def film_fn(k, local, offset, total):
-            return film_metropolis(k, scn, width, height, local, offset,
-                                   total, n_seedpaths, mutation_rounds,
-                                   quirks, use_grid=use_grid)
-        return jax.jit(shard_spp(film_fn, mesh, spp))
+        if spp % n:
+            raise ValueError(f"spp={spp} not divisible by mesh size {n}")
+        local = spp // n
+        localc = n_seedpaths // n
+
+        def body(k):
+            idx = jax.lax.axis_index(axis)
+            if light_pass == "sharded":
+                part = mlt_vlps(k, scn, n_seedpaths, mutation_rounds,
+                                quirks, chain0=idx * jnp.uint32(localc),
+                                chains=localc)
+                # part: [light][slot][chain-window] -> global layout
+                # [light][slot][chain] (reference ordering, ocl:528)
+                g = jax.lax.all_gather(part, axis)
+                vlps = (g.reshape(n, nlights, 4, localc, 4)
+                        .transpose(1, 2, 0, 3, 4)
+                        .reshape(nlights * 4 * n_seedpaths, 4))
+            else:
+                vlps = mlt_vlps(k, scn, n_seedpaths, mutation_rounds,
+                                quirks)
+            film = film_metropolis(k, scn, width, height, local,
+                                   idx * jnp.uint32(local), spp,
+                                   n_seedpaths, mutation_rounds, quirks,
+                                   use_grid=use_grid,
+                                   precomputed_vlps=vlps)
+            return jax.lax.psum(film, axis)
+
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(),),
+                                 out_specs=P(), check_vma=False))
 
     return _cached(cfg, make)(key)
 
