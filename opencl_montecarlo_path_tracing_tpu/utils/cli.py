@@ -69,32 +69,75 @@ def _positional(args, i, default, cast=int):
 
 def _staged_vlp_render(timer, key, scene, w, h, spp, quirks, kind,
                        n_vlp=512, n_seed=512, rounds=8, use_grid=False,
-                       grid_modifier=3.0):
+                       grid_modifier=3.0, dynamic_res=False):
     """Run the VLP pipeline stage by stage with a device sync per stage -
     observability parity with the reference's per-stage event report (e.g.
     CLSuperMetropolisPathTracer_vlpgrid/...c:673-705: light pass, metropolis
-    pass, min/max reduction, grid init, render)."""
+    pass, min/max reduction, grid init, render).
+
+    ``dynamic_res`` (the --dynamic-grid-res parity mode) expands the mlt
+    grid pipeline to the reference's exact 7-stage vlpgrid report
+    (.c:691-705): the seed and Metropolis light kernels timed separately,
+    the device box reduction, the BLOCKING host box read (.c:609), the
+    box-derived grid init, the render, and the render read (timed by the
+    caller)."""
     import jax
     from ..ops.intersect import prep_scene
     from ..ops import vlp as vlpmod
 
     scn = prep_scene(scene)
+    nlights = int(scn.lights.shape[0])
     if kind == "bpt":
         emit = jax.jit(lambda k: vlpmod.emit_vlps(k, scn, n_vlp, quirks))
         vlps = timer.run("light tracer", lambda: emit(key),
-                         items=n_vlp * scn.lights.shape[0],
+                         items=n_vlp * nlights,
                          item_label="VLPs",
-                         data_size=n_vlp * scn.lights.shape[0] * 16)
+                         data_size=n_vlp * nlights * 16)
+    elif dynamic_res and use_grid:
+        # reference stage 1+2: the two light kernels timed separately
+        # (lightTracer then MetropolisLightTracer, .c:691-694)
+        from ..models.metropolis import mlt_seed, mlt_mutate_emit
+        seedfn = jax.jit(lambda k: mlt_seed(k, scn, n_seed, quirks))
+        seed_state = timer.run(
+            "light paths random sampling", lambda: seedfn(key),
+            items=n_seed * nlights, item_label="random light paths",
+            data_size=n_seed * nlights * 64)
+        mut = jax.jit(lambda k, s: mlt_mutate_emit(
+            k, scn, n_seed, rounds, quirks, seed_state=s))
+        vlps = timer.run(
+            "light paths metropolis sampling",
+            lambda: mut(key, seed_state),
+            items=n_seed * nlights * 4, item_label="virtual lights",
+            data_size=n_seed * nlights * 4 * 16)
     else:
         from ..models.metropolis import mlt_vlps
         emit = jax.jit(lambda k: mlt_vlps(k, scn, n_seed, rounds, quirks))
         vlps = timer.run("light tracer + metropolis", lambda: emit(key),
-                         items=n_seed * scn.lights.shape[0],
+                         items=n_seed * nlights,
                          item_label="paths",
-                         data_size=n_seed * scn.lights.shape[0] * 64)
+                         data_size=n_seed * nlights * 64)
 
     grid = None
-    if use_grid:
+    if use_grid and dynamic_res:
+        nv = int(vlps.shape[0])
+        # reference stages 3-5: device box reduction, BLOCKING host box
+        # read, box-derived grid init (.c:595-648)
+        bounds = jax.jit(vlpmod.vlp_bounds)
+        bb = timer.run("VLPs min/max reduction (compute bounding box)",
+                       lambda: bounds(vlps), items=nv,
+                       item_label="virtual lights", data_size=nv * 16)
+        t0 = time.perf_counter()
+        vmin, vmax = (np.asarray(b) for b in bb)
+        timer.record("Read VLPs bounding box",
+                     (time.perf_counter() - t0) * 1e3,
+                     items=1, item_label="box", data_size=32)
+        res = vlpmod.vlp_grid_dynamic_res(vmin, vmax, nv, grid_modifier)
+        print("VLPs grid size: %d x %d x %d" % res)
+        build = jax.jit(lambda v: vlpmod.build_vlp_grid(v, res))
+        grid = timer.run("init VLPs grid", lambda: build(vlps),
+                         items=int(np.prod(res)), item_label="cells",
+                         data_size=int(np.prod(res)) * 63 * 4)
+    elif use_grid:
         res = vlpmod.vlp_grid_static_res(int(vlps.shape[0]), grid_modifier)
         build = jax.jit(lambda v: vlpmod.build_vlp_grid(v, res))
         grid = timer.run("min/max reduction + VLPs grid init",
@@ -140,6 +183,13 @@ def main(argv=None):
                          "65535 writes 16-bit PAM (the reference IO layer "
                          "round-trips it, pamalign.h:156-166/226-231, but "
                          "its tracers never emit it)")
+    ap.add_argument("--dynamic-grid-res", action="store_true",
+                    help="metropolis_vlpgrid only: derive the VLP grid "
+                         "resolution from the reduced bounding box with "
+                         "one blocking host read, exactly as the "
+                         "reference does (vlpgrid .c:609, :629-636); the "
+                         "default static resolution keeps the pipeline "
+                         "device-resident under one jit")
     ap.add_argument("--profile-stages", action="store_true",
                     help="time the VLP pipeline stage by stage (light pass, "
                          "box reduction + grid init, render), mirroring the "
@@ -268,14 +318,16 @@ def main(argv=None):
                     film = _staged_vlp_render(
                         timer, key, scene, w, h, ns.spp, quirks,
                         kind="mlt", n_seed=n_seed, rounds=rounds,
-                        use_grid=use_grid, grid_modifier=mod)
+                        use_grid=use_grid, grid_modifier=mod,
+                        dynamic_res=ns.dynamic_grid_res)
                 else:
                     from ..models.metropolis import render_metropolis
                     film = run_maybe_resumable(
                         "light pass + metropolis + rendering",
                         render_metropolis, scene, n_seedpaths=n_seed,
                         mutation_rounds=rounds, use_grid=use_grid,
-                        grid_modifier=mod)
+                        grid_modifier=mod,
+                        dynamic_grid_res=ns.dynamic_grid_res)
 
     # Quantise on DEVICE when the film is still device-resident (as the
     # reference kernels do — convert_uchar4 in pathtracer.ocl:240): the
@@ -301,8 +353,19 @@ def main(argv=None):
             rgba = film_to_rgba16(np.asarray(film))
     elif on_device:
         from ..ops.reduce import quantize_film
-        rgba = np.asarray(_jax.jit(quantize_film, static_argnames="wrap")(
-            film, wrap=quirks.wrap_uint8))
+        if ns.profile_stages:
+            # reference stage: the blocking render map/read
+            # (clEnqueueMapBuffer d_render, e.g. vlpgrid .c:662-668)
+            rgba = timer.run(
+                "read render data",
+                lambda: np.asarray(
+                    _jax.jit(quantize_film, static_argnames="wrap")(
+                        film, wrap=quirks.wrap_uint8)),
+                items=w * h * 4, item_label="uchar", data_size=w * h * 4)
+        else:
+            rgba = np.asarray(
+                _jax.jit(quantize_film, static_argnames="wrap")(
+                    film, wrap=quirks.wrap_uint8))
     else:
         rgba = film_to_rgba8(np.asarray(film), wrap=quirks.wrap_uint8)
     t0 = time.perf_counter()

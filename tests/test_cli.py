@@ -122,6 +122,35 @@ def test_cli_profile_stages(tmp_path):
     assert "rendering" in out
 
 
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_cli_profile_stages_dynamic_grid_res(tmp_path):
+    """r3 VERDICT #5: with --dynamic-grid-res the staged vlpgrid report
+    shows the reference's exact 7-stage list (vlpgrid .c:691-705) in
+    order, including the blocking host box read (.c:609) and the
+    box-derived 'VLPs grid size' printout (.c:639)."""
+    scene_dir = os.path.join(REFERENCE_DIR,
+                             "CLSuperMetropolisPathTracer_vlpgrid")
+    r = run_cli(["metropolis_vlpgrid", "8", "8", "16", "2", "3.0",
+                 "--spp", "1", "--seed", "2", "--scene-dir", scene_dir,
+                 "--profile-stages", "--dynamic-grid-res"],
+                cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    stages = ["light paths random sampling",
+              "light paths metropolis sampling",
+              "VLPs min/max reduction (compute bounding box)",
+              "Read VLPs bounding box",
+              "init VLPs grid",
+              "rendering",
+              "read render data"]
+    pos = -1
+    for s in stages:
+        assert s in out, s
+        assert out.index(s) > pos      # reference report order
+        pos = out.index(s)
+    assert "VLPs grid size:" in out
+
+
 def test_cli_quirks_mode(tmp_path):
     r = run_cli(["simple", "16", "16", "--spp", "1", "--seed", "1",
                  "--quirks", "reference"], cwd=str(tmp_path))
