@@ -62,6 +62,8 @@ def bench(fn, key, repeats=2, tag=""):
 def main():
     key = make_key(9)
     cases = os.environ.get("PT_DIAG_CASES", "full,nolight,oneseg").split(",")
+    rounds = int(os.environ.get("PT_DIAG_ROUNDS", "0"))
+    compiled = []
     for case in cases:
         nl = 0 if case == "nolight" else 2
         scn = scene_with_lights(nl)
@@ -72,10 +74,28 @@ def main():
             fn = jax.jit(lambda k, s=scn: M.film_super_mega(
                 k, s, SIZE, SIZE, SPP, force_stream=True))
             bench(fn, key, tag=f"{case} (lights={nl}, SEG={M._SEG})")
+            compiled.append((case, fn))
         except Exception as e:  # noqa: BLE001 - keep later cases running
             print(f"{case}: FAILED {type(e).__name__}: {e}", flush=True)
         finally:
             M._SEG = old_seg
+
+    # PT_DIAG_ROUNDS > 0: alternate the already-compiled cases in one
+    # session (tunnel run noise spans 20-40% across calls; only
+    # interleaved runs make a per-case delta attributable)
+    if rounds and len(compiled) > 1:
+        best = {c: 1e9 for c, _ in compiled}
+        for r in range(rounds):
+            for c, fn in compiled:
+                t0 = time.perf_counter()
+                np.asarray(fn(key))
+                dt = time.perf_counter() - t0
+                best[c] = min(best[c], dt)
+                print(f"round {r} {c}: {dt * 1e3:8.1f} ms", flush=True)
+        paths = SIZE * SIZE * SPP
+        for c, _ in compiled:
+            print(f"interleaved best {c}: {best[c] * 1e3:8.1f} ms "
+                  f"({paths / best[c] / 1e6:6.2f} Mpaths/s)", flush=True)
 
 
 if __name__ == "__main__":
