@@ -53,24 +53,26 @@ FLOORS = {
     # denominator - floors leave room for a bad tunnel day, and the
     # kernel-throughput story lives in the amortized sweep
     # (tools/bench_largemesh_sweep.py, docs/PERF.md scaling table):
-    "super_largemesh": 3.5,  # 20736-tri torus at 512^2: take-list
-                             # blocked scan; measured per-call 4.9 (bad
-                             # tunnel day) - 8.6 (good), 7.0 r3 at
-                             # G_blocked=2 (80 amortized at 512^2x8)
+    "super_largemesh": 2.2,  # 20736-tri VISIBLE ripple sheet at 512^2:
+                             # take-list blocked scan.  Round 4 replaced
+                             # the dense torus, whose triangles fell
+                             # under the reference det cutoff and never
+                             # shaded (docs/PERF.md) - the visible mesh
+                             # costs real closest-hit work in almost
+                             # every tile: measured per-call 3.44 (the
+                             # torus-era culling-only rows ran 4.9-8.6)
     "bidirectional_dense": 80.0,  # ~100%-live VLP table (compaction OFF
                              # the table): the uncompacted-gather regime.
                              # The G=1 re-sweep lifted it from the 20-80
                              # class to 216 (the stacked tall gather
                              # amortizes dense rows as well as live-few)
-    "super_stream": 2.0,     # 262144-tri torus (past the reference's
-                             # MAX_TRIANGLES 65536): interval-stream tier
-                             # with exact flag refinement; measured
-                             # per-call 5.46 on chip (11.9 amortized; 1M
-                             # tier: 3.6 amortized, sweep row).  The
-                             # gate-only tier measured 1.7-3.6 per-call
-                             # across one day (2x tunnel swing), so 2.0
-                             # guards a refinement regression while
-                             # leaving bad-day headroom
+    "super_stream": 1.6,     # 262144-tri VISIBLE ripple sheet (past the
+                             # reference's MAX_TRIANGLES 65536):
+                             # interval-stream tier with exact flag
+                             # refinement; measured per-call 2.81 round 4
+                             # on the visible mesh (the torus-era
+                             # culling-only rows ran 1.7-5.5 across one
+                             # day's 2x tunnel swing)
     "super_sharded": 180.0,  # render_super_sharded on a 1-device mesh at
                              # the headline config: the Pallas-megakernel +
                              # shard_map + psum + traced-spp-offset

@@ -65,17 +65,82 @@ def torus_mesh(center=(7.8, 5.0, 10.7), major=0.6, minor=0.25,
     return tris.reshape(-1, 3, 3)
 
 
+def ripple_sheet_mesh(n_major: int, n_minor: int, min_det: float = 0.02,
+                      depth: float = 20.0, amp_frac: float = 0.075,
+                      periods: float = 6.0) -> np.ndarray:
+    """A dense VISIBLE mesh: a rippled sheet spanning the fixed camera's
+    view frustum, (2 * n_major * n_minor, 3, 3).
+
+    The reference estimator rejects any triangle whose UNNORMALIZED edge
+    cross product falls under its det cutoff (`fabs(det) < 0.01f`,
+    pathtracer.ocl:68 - faithfully reproduced as ops/intersect._EPS), so
+    a mesh is only a real rendering workload if every triangle's
+    |e0 x e2| clears it; the reference's own 96-triangle scene keeps a
+    26x margin (min 0.026).  Dense tori shrink their triangles
+    quadratically with resolution and fall under the cutoff by 20k
+    triangles - invisible to ANY faithful implementation (round-4
+    finding, docs/PERF.md).  This sheet instead grows its world size
+    with density: vertices sit at ``depth + ripple`` along the pixel-grid
+    ray directions (so it exactly covers the frame at every density) and
+    ``depth`` is scaled until min |e0 x e2| >= ``min_det`` (det grows
+    ~depth^2; the ripple amplitude tracks depth so the relief keeps its
+    shape)."""
+    from ..core.camera import make_camera
+    cam = make_camera(z_sign=-1.0)
+    up = np.asarray(cam.up, np.float64)
+    right = np.asarray(cam.right, np.float64)
+    eyo = np.asarray(cam.eye_offset, np.float64)
+    pos = np.asarray(cam.pos, np.float64)
+    ax = np.linspace(0.0, 512.0, n_major + 1)
+    ay = np.linspace(0.0, 512.0, n_minor + 1)
+    AX, AY = np.meshgrid(ax, ay, indexing="ij")
+    d = 16.0 * (up[None, None] * AX[..., None]
+                + right[None, None] * AY[..., None] + eyo[None, None])
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ph = 2.0 * np.pi * periods / 512.0
+
+    def build(dep):
+        ripple = (amp_frac * dep * np.sin(ph * AX) * np.sin(ph * AY))
+        P = pos[None, None] + (dep + ripple)[..., None] * d
+        a = P[:-1, :-1]
+        b = P[1:, :-1]
+        c = P[1:, 1:]
+        e = P[:-1, 1:]
+        tris = np.concatenate(
+            [np.stack([a, b, c], axis=2), np.stack([a, c, e], axis=2)],
+            axis=2).reshape(-1, 3, 3)
+        e0 = tris[:, 1] - tris[:, 0]
+        e2 = tris[:, 2] - tris[:, 0]
+        det = np.linalg.norm(np.cross(e0, e2), axis=1)
+        return tris, float(det.min())
+
+    tris, dmin = build(depth)
+    if dmin < min_det:
+        depth *= np.sqrt(min_det / max(dmin, 1e-30)) * 1.05
+        tris, dmin = build(depth)
+    assert dmin >= min_det, (dmin, min_det)
+    return tris.astype(np.float32)
+
+
 def large_mesh_scene(n_major: int = 144, n_minor: int = 72) -> Scene:
-    """The demo scene with its triangles replaced by a dense procedural
-    torus (default 2*144*72 = 20736 triangles): the standard large-mesh
+    """The demo scene with its triangles replaced by a dense VISIBLE
+    mesh (default 2*144*72 = 20736 triangles): the standard large-mesh
     acceleration benchmark (docs/PERF.md "Large meshes"; the reference's
     trianglegrid variant exists for exactly this regime,
-    CLSuperPathTracer_trianglegrid/CLSuperPathTracer.c:15 MAX_TRIANGLES)."""
+    CLSuperPathTracer_trianglegrid/CLSuperPathTracer.c:15 MAX_TRIANGLES).
+
+    Round 4 replaced the former dense torus with
+    :func:`ripple_sheet_mesh`: the torus's triangles fell under the
+    reference's det cutoff past ~5k triangles, so those benchmark rows
+    exercised the culling machinery against a mesh that could never
+    shade a pixel.  The sheet spans the view frustum at every density
+    and every triangle clears the cutoff - the rows now measure a real
+    render (film content pinned by tests/test_builtin_scene.py)."""
     base, _ = demo_scene()
     return Scene(
         sphere_centers=base.sphere_centers,
         square_kj=base.square_kj,
-        triangles=torus_mesh(n_major=n_major, n_minor=n_minor),
+        triangles=ripple_sheet_mesh(n_major, n_minor),
         lights=base.lights,
     )
 

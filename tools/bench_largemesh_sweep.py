@@ -40,13 +40,21 @@ MESHES = [
 
 
 def scene_for(nm):
+    # round 4: ripple sheets (visible at every density) replace the
+    # dense tori, whose triangles fell under the reference's det cutoff
+    # past ~5k and could never shade a pixel (docs/PERF.md)
     base, _ = demo_scene()
     if nm is None:
         return prep_scene(base)
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import (
+        ripple_sheet_mesh)
+    # tori are only visible up to ~1k triangles (min |e0 x e2| drops
+    # under the 0.01 cutoff: 0.0067 at 1k, 0.0014 at 5k) - every dense
+    # tier uses the sheet
+    tris = ripple_sheet_mesh(nm[0], nm[1])
     return prep_scene(Scene(
         sphere_centers=base.sphere_centers, square_kj=base.square_kj,
-        triangles=torus_mesh(n_major=nm[0], n_minor=nm[1]),
-        lights=base.lights))
+        triangles=tris, lights=base.lights))
 
 
 def bench(fn, key, repeats=REPEATS):
