@@ -106,8 +106,12 @@ def ripple_sheet_mesh(n_major: int, n_minor: int, min_det: float = 0.02,
         b = P[1:, :-1]
         c = P[1:, 1:]
         e = P[:-1, 1:]
+        # winding (a, c, b) / (a, e, c): geometric normals face the
+        # camera, so the lights (which sit between camera and sheet)
+        # actually illuminate it - the reference shades with the
+        # cross-product normal as-is, no two-sided flip
         tris = np.concatenate(
-            [np.stack([a, b, c], axis=2), np.stack([a, c, e], axis=2)],
+            [np.stack([a, c, b], axis=2), np.stack([a, e, c], axis=2)],
             axis=2).reshape(-1, 3, 3)
         e0 = tris[:, 1] - tris[:, 0]
         e2 = tris[:, 2] - tris[:, 0]

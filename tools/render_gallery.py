@@ -66,6 +66,14 @@ def main():
                w * h * 64)
     save("super_torus", film, w, h)
 
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import (
+        large_mesh_scene)
+    big = large_mesh_scene()   # 20736-tri VISIBLE ripple sheet (round 4)
+    film = run("super largemesh 20k ripple sheet (512^2, 16 spp)",
+               lambda: np.asarray(render_super(key, big, w, h, spp=16)),
+               w * h * 16)
+    save("super_largemesh", film, w, h)
+
     from opencl_montecarlo_path_tracing_tpu.models.sample_parallel import (
         render_sample_parallel)
     img = run("nodof sample-parallel (512^2, 8x8 samples)",
