@@ -66,13 +66,14 @@ FLOORS = {
                              # The G=1 re-sweep lifted it from the 20-80
                              # class to 216 (the stacked tall gather
                              # amortizes dense rows as well as live-few)
-    "super_stream": 1.6,     # 262144-tri VISIBLE ripple sheet (past the
+    "super_stream": 1.3,     # 262144-tri VISIBLE ripple sheet (past the
                              # reference's MAX_TRIANGLES 65536):
                              # interval-stream tier with exact flag
-                             # refinement; measured per-call 2.81 round 4
-                             # on the visible mesh (the torus-era
-                             # culling-only rows ran 1.7-5.5 across one
-                             # day's 2x tunnel swing)
+                             # refinement; measured per-call 1.80-2.81
+                             # round 4 on the visible mesh in one day
+                             # (the lit winding adds real shadow work;
+                             # torus-era culling-only rows ran 1.7-5.5
+                             # across a 2x tunnel swing)
     "super_sharded": 180.0,  # render_super_sharded on a 1-device mesh at
                              # the headline config: the Pallas-megakernel +
                              # shard_map + psum + traced-spp-offset
