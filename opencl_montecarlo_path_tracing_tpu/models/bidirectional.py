@@ -86,7 +86,8 @@ def illum_vlp(key, scn: SceneArrays, quirks: Quirks, vlps, grid,
 
 
 def _film_vlp_mega_maybe(key, scn, vlps, grid, width, height, spp,
-                         spp_offset, spp_total, quirks, max_bounces):
+                         spp_offset, spp_total, quirks, max_bounces,
+                         row_offset=0, rows=None):
     """Route the VLP render pass (dense OR grid-limited gather) to the
     Pallas megakernel on TPU (ops/pallas_bpt.py, ~3-6x the XLA pipeline;
     equality pinned by tests/test_megakernel.py).  Returns None when the
@@ -98,7 +99,8 @@ def _film_vlp_mega_maybe(key, scn, vlps, grid, width, height, spp,
             and not os.environ.get("PT_NO_MEGAKERNEL")
             and _mega.supported(scn, quirks, grid, None)):
         return _mega.film_vlp_mega(key, scn, vlps, width, height, spp,
-                                   spp_offset, spp_total, quirks, grid=grid)
+                                   spp_offset, spp_total, quirks, grid=grid,
+                                   row_offset=row_offset, rows=rows)
     return None
 
 
@@ -106,7 +108,7 @@ def film_bidirectional(key, scn: SceneArrays, width, height, spp, spp_offset,
                        spp_total, n_vlp, quirks,
                        max_bounces=C.MAX_BOUNCES, use_grid: bool = False,
                        grid_modifier: float = 3.0, precomputed_vlps=None,
-                       precomputed_grid=None):
+                       precomputed_grid=None, row_offset=0, rows=None):
     """Both passes under one program: emit VLPs, (optionally) build the VLP
     grid on device, render.  ``precomputed_vlps``/``precomputed_grid`` let a
     caller stage the pipeline (per-stage profiling parity with the
@@ -118,14 +120,16 @@ def film_bidirectional(key, scn: SceneArrays, width, height, spp, spp_offset,
         res = vlpmod.vlp_grid_static_res(int(vlps.shape[0]), grid_modifier)
         grid = vlpmod.build_vlp_grid(vlps, res)
     film = _film_vlp_mega_maybe(key, scn, vlps, grid, width, height, spp,
-                                spp_offset, spp_total, quirks, max_bounces)
+                                spp_offset, spp_total, quirks, max_bounces,
+                                row_offset=row_offset, rows=rows)
     if film is not None:
         return film
     illum = functools.partial(illum_vlp, key, scn, quirks, vlps, grid, None)
     sample_fn = functools.partial(sample_super, key, scn, quirks, max_bounces,
                                   illum_fn=illum)
     return C.accumulate_spp(sample_fn, width, height, spp,
-                            spp_offset=spp_offset, spp_total=spp_total)
+                            spp_offset=spp_offset, spp_total=spp_total,
+                            row_offset=row_offset, rows=rows)
 
 
 _COMPILED: dict = {}

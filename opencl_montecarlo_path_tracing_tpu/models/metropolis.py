@@ -294,7 +294,7 @@ def film_metropolis(key, scn: SceneArrays, width, height, spp, spp_offset,
                     max_bounces=C.MAX_BOUNCES, use_grid: bool = False,
                     grid_modifier: float = 3.0, verify_eps: float = 1e-3,
                     precomputed_vlps=None, precomputed_grid=None,
-                    grid_res=None):
+                    grid_res=None, row_offset=0, rows=None):
     vlps = (precomputed_vlps if precomputed_vlps is not None
             else mlt_vlps(key, scn, n_seedpaths, mutation_rounds, quirks,
                           verify_eps))
@@ -306,14 +306,16 @@ def film_metropolis(key, scn: SceneArrays, width, height, spp, spp_offset,
         grid = vlpmod.build_vlp_grid(vlps, res)
     from .bidirectional import _film_vlp_mega_maybe
     film = _film_vlp_mega_maybe(key, scn, vlps, grid, width, height, spp,
-                                spp_offset, spp_total, quirks, max_bounces)
+                                spp_offset, spp_total, quirks, max_bounces,
+                                row_offset=row_offset, rows=rows)
     if film is not None:
         return film
     illum = functools.partial(illum_vlp, key, scn, quirks, vlps, grid, None)
     sample_fn = functools.partial(sample_super, key, scn, quirks, max_bounces,
                                   illum_fn=illum)
     return C.accumulate_spp(sample_fn, width, height, spp,
-                            spp_offset=spp_offset, spp_total=spp_total)
+                            spp_offset=spp_offset, spp_total=spp_total,
+                            row_offset=row_offset, rows=rows)
 
 
 _COMPILED: dict = {}

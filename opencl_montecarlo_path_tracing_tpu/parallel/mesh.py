@@ -358,3 +358,123 @@ def render_super_sharded_2d(key, scene: Scene | SceneArrays, width: int,
                                  out_specs=P(), check_vma=False))
 
     return _cached(cfg, make)(key)
+
+
+def render_bidirectional_sharded_2d(key, scene, width: int, height: int,
+                                    spp: int, mesh: Mesh, n_vlp: int = 512,
+                                    quirks: Quirks = DEFAULT,
+                                    use_grid: bool = False):
+    """Bidirectional render sharded over image rows ('y') AND spp
+    ('spp'), with the LIGHT pass sharded over the FLATTENED device set:
+    every one of the ny*nspp devices emits the work-item window
+    [lin/n, (lin+1)/n) of the lightTracer pass (lin = iy*nspp + isp),
+    the VLP table is ``all_gather``-ed over both axes and reassembled to
+    the reference layout, then each device renders its (row band, spp
+    window) and the film is psum('spp') + row-gathered over 'y' - all
+    collectives over ICI, no replicated emission anywhere.  Bit-exact
+    vs the single-device render up to psum summation order
+    (tests/test_parallel.py)."""
+    from ..models.bidirectional import film_bidirectional
+    from ..ops import vlp as vlpmod
+    scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    ny = mesh.shape["y"]
+    nspp = mesh.shape["spp"]
+    n = ny * nspp
+    nlights = int(scn.lights.shape[0])
+    if height % ny or spp % nspp:
+        raise ValueError(f"height={height} % {ny} or spp={spp} % "
+                         f"{nspp} != 0")
+    shard_light = bool(nlights) and n_vlp % n == 0
+    rows = height // ny
+    local = spp // nspp
+    cfg = ("bpt2d", scn.fingerprint(), width, height, spp, n_vlp, quirks,
+           use_grid, shard_light, _mesh_key(mesh))
+
+    def make():
+        localv = n_vlp // n if shard_light else n_vlp
+
+        def body(k):
+            iy = jax.lax.axis_index("y")
+            isp = jax.lax.axis_index("spp")
+            if shard_light:
+                lin = iy * jnp.uint32(nspp) + isp
+                part = vlpmod.emit_vlps(
+                    k, scn, n_vlp, quirks,
+                    gi0=lin * jnp.uint32(localv), count=localv)
+                g = jax.lax.all_gather(part, ("y", "spp"))
+                vlps = (g.reshape(n, nlights, localv, 4)
+                        .transpose(1, 0, 2, 3)
+                        .reshape(nlights * n_vlp, 4))
+            else:
+                vlps = vlpmod.emit_vlps(k, scn, n_vlp, quirks)
+            film = film_bidirectional(
+                k, scn, width, height, local, isp * jnp.uint32(local),
+                spp, n_vlp, quirks, use_grid=use_grid,
+                precomputed_vlps=vlps,
+                row_offset=iy * jnp.uint32(rows), rows=rows)
+            film = jax.lax.psum(film, "spp")
+            return jax.lax.all_gather(film, "y", axis=0, tiled=True)
+
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(),),
+                                 out_specs=P(), check_vma=False))
+
+    return _cached(cfg, make)(key)
+
+
+def render_metropolis_sharded_2d(key, scene, width: int, height: int,
+                                 spp: int, mesh: Mesh,
+                                 n_seedpaths: int = 512,
+                                 mutation_rounds: int = 8,
+                                 quirks: Quirks = DEFAULT,
+                                 use_grid: bool = False):
+    """Metropolis render sharded over rows x spp with the chain pipeline
+    sharded over the flattened device set (chain window lin/n per
+    device, all_gather + reference light-major slot-minor reassembly) -
+    the 2-D analogue of render_metropolis_sharded's sharded light
+    pass."""
+    from ..models.metropolis import film_metropolis, mlt_vlps
+    scn = prep_scene(scene) if isinstance(scene, Scene) else scene
+    ny = mesh.shape["y"]
+    nspp = mesh.shape["spp"]
+    n = ny * nspp
+    nlights = int(scn.lights.shape[0])
+    if height % ny or spp % nspp:
+        raise ValueError(f"height={height} % {ny} or spp={spp} % "
+                         f"{nspp} != 0")
+    shard_light = bool(nlights) and n_seedpaths % n == 0
+    rows = height // ny
+    local = spp // nspp
+    cfg = ("mlt2d", scn.fingerprint(), width, height, spp, n_seedpaths,
+           mutation_rounds, quirks, use_grid, shard_light,
+           _mesh_key(mesh))
+
+    def make():
+        localc = n_seedpaths // n if shard_light else n_seedpaths
+
+        def body(k):
+            iy = jax.lax.axis_index("y")
+            isp = jax.lax.axis_index("spp")
+            if shard_light:
+                lin = iy * jnp.uint32(nspp) + isp
+                part = mlt_vlps(k, scn, n_seedpaths, mutation_rounds,
+                                quirks, chain0=lin * jnp.uint32(localc),
+                                chains=localc)
+                g = jax.lax.all_gather(part, ("y", "spp"))
+                vlps = (g.reshape(n, nlights, 4, localc, 4)
+                        .transpose(1, 2, 0, 3, 4)
+                        .reshape(nlights * 4 * n_seedpaths, 4))
+            else:
+                vlps = mlt_vlps(k, scn, n_seedpaths, mutation_rounds,
+                                quirks)
+            film = film_metropolis(
+                k, scn, width, height, local, isp * jnp.uint32(local),
+                spp, n_seedpaths, mutation_rounds, quirks,
+                use_grid=use_grid, precomputed_vlps=vlps,
+                row_offset=iy * jnp.uint32(rows), rows=rows)
+            film = jax.lax.psum(film, "spp")
+            return jax.lax.all_gather(film, "y", axis=0, tiled=True)
+
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(),),
+                                 out_specs=P(), check_vma=False))
+
+    return _cached(cfg, make)(key)

@@ -269,3 +269,38 @@ def test_sharded_blocked_and_stream_megakernel_interpret():
             np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-5)
     finally:
         M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = prev
+
+
+def test_sharded_2d_vlp_integrators_match_single():
+    """2-D (rows x spp) sharding for the VLP integrators with the light
+    pass sharded over the FLATTENED 4x2 device set: bidirectional and
+    metropolis (dense + grid) == single-device renders.  The light
+    window invariance makes the gathered VLP table bit-identical, so
+    the only difference is psum order (atol as the 1-D tests)."""
+    from opencl_montecarlo_path_tracing_tpu.models.bidirectional import (
+        render_bidirectional)
+    from opencl_montecarlo_path_tracing_tpu.models.metropolis import (
+        render_metropolis)
+    from opencl_montecarlo_path_tracing_tpu.parallel.mesh import (
+        make_mesh_2d, render_bidirectional_sharded_2d,
+        render_metropolis_sharded_2d)
+    scene = small_scene()
+    key = make_key(39)
+    mesh = make_mesh_2d(4, 2)
+    w = h = 16
+    spp = 4
+
+    single = np.asarray(render_bidirectional(key, scene, w, h, spp=spp,
+                                             n_vlp=32))
+    sharded = np.asarray(render_bidirectional_sharded_2d(
+        key, scene, w, h, spp, mesh, n_vlp=32))
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)
+
+    for use_grid in (False, True):
+        single = np.asarray(render_metropolis(
+            key, scene, w, h, spp=spp, n_seedpaths=16, mutation_rounds=2,
+            use_grid=use_grid))
+        sharded = np.asarray(render_metropolis_sharded_2d(
+            key, scene, w, h, spp, mesh, n_seedpaths=16,
+            mutation_rounds=2, use_grid=use_grid))
+        np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)

@@ -68,6 +68,22 @@ def main():
           flush=True)
     assert d.max() <= 1e-5, d.max()
 
+    # 2-D rows x spp sharding for the VLP integrators (round 4): light
+    # pass sharded over the flattened device set, film psum('spp') +
+    # row-gather('y'); a 1x1 mesh still runs the full composition
+    from opencl_montecarlo_path_tracing_tpu.parallel.mesh import (
+        make_mesh_2d, render_bidirectional_sharded_2d)
+    mesh11 = make_mesh_2d(1, 1)
+    single = np.asarray(render_bidirectional(key, scene, w, h, spp=spp,
+                                             n_vlp=512))
+    sharded = np.asarray(render_bidirectional_sharded_2d(
+        key, scene, w, h, spp, mesh11, n_vlp=512))
+    d = np.abs(single - sharded)
+    print(f"bidirectional sharded-2d(mesh=1x1) vs unsharded on TPU: "
+          f"max|diff| {d.max():.2e} (film mean {single.mean():.4f})",
+          flush=True)
+    assert d.max() <= 1e-5, d.max()
+
     # large-mesh: the BLOCKED megakernel (interval-gated take-list scan,
     # DMA scratch + SMEM take-lists) inside shard_map - a different
     # kernel instantiation than the SMEM-resident scan above
