@@ -191,6 +191,7 @@ def render_metropolis_sharded(key, scene, width: int, height: int,
                               mutation_rounds: int = 8,
                               quirks: Quirks = DEFAULT,
                               use_grid: bool = False,
+                              grid_modifier: float = 3.0,
                               light_pass: str = "sharded"):
     """spp-sharded Metropolis render.
 
@@ -215,7 +216,8 @@ def render_metropolis_sharded(key, scene, width: int, height: int,
     if light_pass == "sharded" and (n_seedpaths % n or nlights == 0):
         light_pass = "replicated"
     cfg = ("mlt", scn.fingerprint(), width, height, spp, n_seedpaths,
-           mutation_rounds, quirks, use_grid, light_pass, _mesh_key(mesh))
+           mutation_rounds, quirks, use_grid, grid_modifier, light_pass,
+           _mesh_key(mesh))
 
     def make():
         if spp % n:
@@ -426,7 +428,8 @@ def render_metropolis_sharded_2d(key, scene, width: int, height: int,
                                  n_seedpaths: int = 512,
                                  mutation_rounds: int = 8,
                                  quirks: Quirks = DEFAULT,
-                                 use_grid: bool = False):
+                                 use_grid: bool = False,
+                                 grid_modifier: float = 3.0):
     """Metropolis render sharded over rows x spp with the chain pipeline
     sharded over the flattened device set (chain window lin/n per
     device, all_gather + reference light-major slot-minor reassembly) -
@@ -445,7 +448,7 @@ def render_metropolis_sharded_2d(key, scene, width: int, height: int,
     rows = height // ny
     local = spp // nspp
     cfg = ("mlt2d", scn.fingerprint(), width, height, spp, n_seedpaths,
-           mutation_rounds, quirks, use_grid, shard_light,
+           mutation_rounds, quirks, use_grid, grid_modifier, shard_light,
            _mesh_key(mesh))
 
     def make():
@@ -469,7 +472,8 @@ def render_metropolis_sharded_2d(key, scene, width: int, height: int,
             film = film_metropolis(
                 k, scn, width, height, local, isp * jnp.uint32(local),
                 spp, n_seedpaths, mutation_rounds, quirks,
-                use_grid=use_grid, precomputed_vlps=vlps,
+                use_grid=use_grid, grid_modifier=grid_modifier,
+                precomputed_vlps=vlps,
                 row_offset=iy * jnp.uint32(rows), rows=rows)
             film = jax.lax.psum(film, "spp")
             return jax.lax.all_gather(film, "y", axis=0, tiled=True)

@@ -18,7 +18,9 @@ table).  Here every variant is a subcommand with the same positionals:
 Keyword options extend the reference surface: --scene-dir, --spp, --seed,
 --out, --quirks {default,reference}, --triangles-file (the torus swap),
 --checkpoint/--spp-per-step (resumable accumulation), --profile-stages
-(per-stage timing of the VLP pipelines).  The lws0 positional of the simple
+(per-stage timing of the VLP pipelines), --dynamic-grid-res (the vlpgrid
+reference-parity grid mode), --shard N|RxS (multi-device rendering over a
+jax.sharding.Mesh - spp or rows x spp, VLP light passes sharded too).  The lws0 positional of the simple
 tracer is accepted and ignored (TPU has no work-group size); device
 selection honours PT_PLATFORM / PT_DEVICE like the reference's OCL_PLATFORM
 / OCL_DEVICE env vars (ocl_boiler.h:54-131).
@@ -153,6 +155,90 @@ def _staged_vlp_render(timer, key, scene, w, h, spp, quirks, kind,
                      items=w * h, item_label="pixels", data_size=w * h * 4)
 
 
+def _sharded_cli_render(ns, timer, key, scene, w, h, quirks, pos):
+    """--shard dispatch to the parallel/mesh.py renderers (beyond the
+    reference surface: the reference is single-device, ocl_boiler.h:150).
+    Returns (film, img); (None, None) after printing an error."""
+    import jax
+    from .. import parallel as par
+    from ..parallel.mesh import (render_bidirectional_sharded_2d,
+                                 render_metropolis_sharded_2d)
+    spec = ns.shard.lower()
+    try:
+        if "x" in spec:
+            ry, sp = (int(x) for x in spec.split("x"))
+            n, two_d = ry * sp, True
+        else:
+            ry, sp = None, int(spec)
+            n, two_d = sp, False
+    except ValueError:
+        print(f"error: bad --shard spec {ns.shard!r} (want N or RxS)",
+              file=sys.stderr)
+        return None, None
+    if len(jax.devices()) < n:
+        print(f"error: --shard {ns.shard} needs {n} devices; "
+              f"have {len(jax.devices())}", file=sys.stderr)
+        return None, None
+    v = ns.variant
+    spp = ns.spp
+    if two_d and v not in ("super", "superlmem", "bidirectional",
+                           "metropolis", "metropolis_vlpgrid"):
+        print(f"error: 2-D --shard is not supported for {v} "
+              "(use the 1-D N form)", file=sys.stderr)
+        return None, None
+    label = f"rendering (sharded {ns.shard})"
+    try:
+        if v == "nodof":
+            mesh = par.make_spp_mesh(n, axis="y")
+            img = timer.run(
+                "rendering+reduction (sharded rows)",
+                lambda: par.render_sample_parallel_sharded(
+                    key, scene, w, h, sample_grid=8, mesh=mesh,
+                    quirks=quirks),
+                items=w * h * 64, item_label="samples",
+                data_size=w * h * 64 * 16)
+            return None, np.asarray(img)
+        mesh = par.make_mesh_2d(ry, sp) if two_d else par.make_spp_mesh(n)
+        if v in ("super", "superlmem"):
+            fn = (lambda: par.render_super_sharded_2d(
+                      key, scene, w, h, spp, mesh, quirks)) if two_d else \
+                 (lambda: par.render_super_sharded(
+                      key, scene, w, h, spp, mesh, quirks))
+        elif v == "simple":
+            fn = lambda: par.render_simple_sharded(key, w, h, spp, mesh,
+                                                   quirks)
+        elif v == "trianglegrid":
+            mod = _positional(pos, 2, 3.0, float)
+            fn = lambda: par.render_trianglegrid_sharded(
+                key, scene, w, h, spp, mesh, cell_size_modifier=mod,
+                quirks=quirks)
+        elif v == "bidirectional":
+            n_vlp = _positional(pos, 2, 512)
+            fn = (lambda: render_bidirectional_sharded_2d(
+                      key, scene, w, h, spp, mesh, n_vlp=n_vlp,
+                      quirks=quirks)) if two_d else \
+                 (lambda: par.render_bidirectional_sharded(
+                      key, scene, w, h, spp, mesh, n_vlp=n_vlp,
+                      quirks=quirks))
+        else:   # metropolis / metropolis_vlpgrid
+            n_seed = _positional(pos, 2, 512)
+            rounds = _positional(pos, 3, 8)
+            mod = _positional(pos, 4, 3.0, float)
+            use_grid = v.endswith("vlpgrid")
+            kw = dict(n_seedpaths=n_seed, mutation_rounds=rounds,
+                      quirks=quirks, use_grid=use_grid, grid_modifier=mod)
+            fn = (lambda: render_metropolis_sharded_2d(
+                      key, scene, w, h, spp, mesh, **kw)) if two_d else \
+                 (lambda: par.render_metropolis_sharded(
+                      key, scene, w, h, spp, mesh, **kw))
+        film = timer.run(label, fn, items=w * h, item_label="pixels",
+                         data_size=w * h * 4)
+        return film, None
+    except ValueError as e:   # indivisible spp/rows etc.
+        print(f"error: --shard {ns.shard}: {e}", file=sys.stderr)
+        return None, None
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     ap = argparse.ArgumentParser(
@@ -183,6 +269,15 @@ def main(argv=None):
                          "65535 writes 16-bit PAM (the reference IO layer "
                          "round-trips it, pamalign.h:156-166/226-231, but "
                          "its tracers never emit it)")
+    ap.add_argument("--shard", default=None, metavar="N|RxS",
+                    help="render through the multi-device sharded path "
+                         "(parallel/mesh.py): N shards the spp axis over N "
+                         "devices; RxS shards image rows x spp over a 2-D "
+                         "mesh (super/bidirectional/metropolis[_vlpgrid]; "
+                         "other variants support the 1-D form).  The VLP "
+                         "variants shard their light pass too.  Requires "
+                         "enough JAX devices; incompatible with "
+                         "--checkpoint/--profile-stages")
     ap.add_argument("--dynamic-grid-res", action="store_true",
                     help="metropolis_vlpgrid only: derive the VLP grid "
                          "resolution from the reduced bounding box with "
@@ -259,12 +354,23 @@ def main(argv=None):
                          data_size=w * h * 4)
             return ck.film
 
+        if ns.shard and (ns.checkpoint or ns.profile_stages):
+            print("error: --shard is incompatible with --checkpoint / "
+                  "--profile-stages", file=sys.stderr)
+            return 1
         if ns.variant == "simple":
             from ..models.simple import render_simple
-            film = run_maybe_resumable(
-                "rendering",
-                lambda k, _scene, ww, hh, **kw: render_simple(k, ww, hh, **kw),
-                None)
+            if ns.shard:
+                film, _ = _sharded_cli_render(ns, timer, key, None, w, h,
+                                              quirks, pos)
+                if film is None:
+                    return 1
+            else:
+                film = run_maybe_resumable(
+                    "rendering",
+                    lambda k, _scene, ww, hh, **kw: render_simple(k, ww, hh,
+                                                                  **kw),
+                    None)
         else:
             try:
                 scene = load_scene(ns.scene_dir, triangles=ns.triangles_file)
@@ -279,7 +385,12 @@ def main(argv=None):
                 return 1
             print(f"Number of triangles: {scene.n_triangles}")
             print(f"Number of lights: {scene.n_lights}")
-            if ns.variant in ("super", "superlmem"):
+            if ns.shard:
+                film, img = _sharded_cli_render(ns, timer, key, scene, w, h,
+                                                quirks, pos)
+                if film is None and img is None:
+                    return 1
+            elif ns.variant in ("super", "superlmem"):
                 from ..models.super import render_super
                 film = run_maybe_resumable("rendering", render_super, scene)
             elif ns.variant == "nodof":
