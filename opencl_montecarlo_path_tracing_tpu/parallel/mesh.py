@@ -59,49 +59,60 @@ def _cached(cfg, make_fn):
     return fn
 
 
-def shard_spp(film_fn, mesh: Mesh, spp: int, axis: str = "spp"):
+def shard_spp(film_fn, mesh: Mesh, spp: int, axis: str = "spp",
+              spp_total: int | None = None):
     """Wrap ``film_fn(key, spp_local, spp_offset, spp_total) -> film`` into
-    an SPMD program taking ``key``: each device renders its sample window,
-    films are psum-reduced over the mesh axis, result replicated."""
+    an SPMD program taking ``(key, spp_offset)``: each device renders its
+    sample window of the ``spp`` samples starting at the (traced) global
+    ``spp_offset``, films are psum-reduced over the mesh axis, result
+    replicated.  ``spp_total`` fixes the logical RNG stream space (defaults
+    to ``spp``); pass the full-render total when rendering a checkpoint
+    window so windows compose bit-exactly (utils/checkpoint.py)."""
     n = mesh.devices.size
     if spp % n:
         raise ValueError(f"spp={spp} not divisible by mesh size {n}")
     local = spp // n
+    total = spp if spp_total is None else spp_total
 
-    def body(key):
+    def body(key, spp_offset):
         idx = jax.lax.axis_index(axis)
-        film = film_fn(key, local, idx * jnp.uint32(local), spp)
+        film = film_fn(key, local, spp_offset + idx * jnp.uint32(local),
+                       total)
         return jax.lax.psum(film, axis)
 
-    return shard_map(body, mesh=mesh, in_specs=(P(),), out_specs=P(),
+    return shard_map(body, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
                      check_vma=False)
 
 
 def render_super_sharded(key, scene: Scene | SceneArrays, width: int,
                          height: int, spp: int, mesh: Mesh | None = None,
                          quirks: Quirks = DEFAULT,
-                         max_bounces: int = MAX_BOUNCES):
+                         max_bounces: int = MAX_BOUNCES,
+                         spp_offset: int = 0, spp_total: int | None = None):
     """Multi-chip render of the full scene; returns the replicated
-    pre-ambient film (H, W, 3)."""
+    pre-ambient film (H, W, 3).  ``spp_offset``/``spp_total`` select a
+    sample window for checkpointed accumulation (the offset is traced, so
+    every window of a resumable render shares one compiled program)."""
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
     if mesh is None:
         mesh = make_spp_mesh()
-    cfg = ("super", scn.fingerprint(), width, height, spp, quirks,
-           max_bounces, _mesh_key(mesh))
+    cfg = ("super", scn.fingerprint(), width, height, spp, spp_total,
+           quirks, max_bounces, _mesh_key(mesh))
 
     def make():
         def film_fn(k, local, offset, total):
             return film_super(k, scn, width, height, local, offset, total,
                               quirks, max_bounces)
-        return jax.jit(shard_spp(film_fn, mesh, spp))
+        return jax.jit(shard_spp(film_fn, mesh, spp, spp_total=spp_total))
 
-    return _cached(cfg, make)(key)
+    return _cached(cfg, make)(key, jnp.uint32(spp_offset))
 
 
 def render_simple_sharded(key, width: int, height: int, spp: int,
                           mesh: Mesh | None = None,
                           quirks: Quirks = DEFAULT,
-                          max_bounces: int = MAX_BOUNCES):
+                          max_bounces: int = MAX_BOUNCES,
+                          spp_offset: int = 0, spp_total: int | None = None):
     """spp-sharded render of the multi-bounce mirror tracer
     (CLSimplePathTracer, the only genuinely multi-bounce GPU variant -
     CLSimplePathTracer/CLSimplePathTracer.c:85): each device renders its
@@ -110,16 +121,16 @@ def render_simple_sharded(key, width: int, height: int, spp: int,
     from ..models.simple import film_simple
     if mesh is None:
         mesh = make_spp_mesh()
-    cfg = ("simple", width, height, spp, quirks, max_bounces,
+    cfg = ("simple", width, height, spp, spp_total, quirks, max_bounces,
            _mesh_key(mesh))
 
     def make():
         def film_fn(k, local, offset, total):
             return film_simple(k, width, height, local, offset, total,
                                quirks, max_bounces)
-        return jax.jit(shard_spp(film_fn, mesh, spp))
+        return jax.jit(shard_spp(film_fn, mesh, spp, spp_total=spp_total))
 
-    return _cached(cfg, make)(key)
+    return _cached(cfg, make)(key, jnp.uint32(spp_offset))
 
 
 def render_bidirectional_sharded(key, scene, width: int, height: int,
@@ -127,7 +138,9 @@ def render_bidirectional_sharded(key, scene, width: int, height: int,
                                  n_vlp: int = 512,
                                  quirks: Quirks = DEFAULT,
                                  use_grid: bool = False,
-                                 light_pass: str = "sharded"):
+                                 light_pass: str = "sharded",
+                                 spp_offset: int = 0,
+                                 spp_total: int | None = None):
     """spp-sharded bidirectional render.
 
     ``light_pass="sharded"`` (default): each device emits only the
@@ -152,8 +165,9 @@ def render_bidirectional_sharded(key, scene, width: int, height: int,
     nlights = int(scn.lights.shape[0])
     if light_pass == "sharded" and (n_vlp % n or nlights == 0):
         light_pass = "replicated"   # indivisible window / no lights
-    cfg = ("bpt", scn.fingerprint(), width, height, spp, n_vlp, quirks,
-           use_grid, light_pass, _mesh_key(mesh))
+    cfg = ("bpt", scn.fingerprint(), width, height, spp, spp_total, n_vlp,
+           quirks, use_grid, light_pass, _mesh_key(mesh))
+    total = spp if spp_total is None else spp_total
 
     def make():
         if spp % n:
@@ -161,7 +175,7 @@ def render_bidirectional_sharded(key, scene, width: int, height: int,
         local = spp // n
         localv = n_vlp // n
 
-        def body(k):
+        def body(k, off):
             idx = jax.lax.axis_index(axis)
             if light_pass == "sharded":
                 part = vlpmod.emit_vlps(
@@ -174,15 +188,15 @@ def render_bidirectional_sharded(key, scene, width: int, height: int,
             else:
                 vlps = vlpmod.emit_vlps(k, scn, n_vlp, quirks)
             film = film_bidirectional(k, scn, width, height, local,
-                                      idx * jnp.uint32(local), spp, n_vlp,
-                                      quirks, use_grid=use_grid,
+                                      off + idx * jnp.uint32(local), total,
+                                      n_vlp, quirks, use_grid=use_grid,
                                       precomputed_vlps=vlps)
             return jax.lax.psum(film, axis)
 
-        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(),),
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(), P()),
                                  out_specs=P(), check_vma=False))
 
-    return _cached(cfg, make)(key)
+    return _cached(cfg, make)(key, jnp.uint32(spp_offset))
 
 
 def render_metropolis_sharded(key, scene, width: int, height: int,
@@ -192,7 +206,9 @@ def render_metropolis_sharded(key, scene, width: int, height: int,
                               quirks: Quirks = DEFAULT,
                               use_grid: bool = False,
                               grid_modifier: float = 3.0,
-                              light_pass: str = "sharded"):
+                              light_pass: str = "sharded",
+                              spp_offset: int = 0,
+                              spp_total: int | None = None):
     """spp-sharded Metropolis render.
 
     ``light_pass="sharded"`` (default): each device runs only the
@@ -215,9 +231,10 @@ def render_metropolis_sharded(key, scene, width: int, height: int,
     nlights = int(scn.lights.shape[0])
     if light_pass == "sharded" and (n_seedpaths % n or nlights == 0):
         light_pass = "replicated"
-    cfg = ("mlt", scn.fingerprint(), width, height, spp, n_seedpaths,
-           mutation_rounds, quirks, use_grid, grid_modifier, light_pass,
-           _mesh_key(mesh))
+    cfg = ("mlt", scn.fingerprint(), width, height, spp, spp_total,
+           n_seedpaths, mutation_rounds, quirks, use_grid, grid_modifier,
+           light_pass, _mesh_key(mesh))
+    total = spp if spp_total is None else spp_total
 
     def make():
         if spp % n:
@@ -225,14 +242,18 @@ def render_metropolis_sharded(key, scene, width: int, height: int,
         local = spp // n
         localc = n_seedpaths // n
 
-        def body(k):
+        def body(k, off):
             idx = jax.lax.axis_index(axis)
             if light_pass == "sharded":
                 part = mlt_vlps(k, scn, n_seedpaths, mutation_rounds,
                                 quirks, chain0=idx * jnp.uint32(localc),
                                 chains=localc)
-                # part: [light][slot][chain-window] -> global layout
-                # [light][slot][chain] (reference ordering, ocl:528)
+                # part: [light][slot][chain-window] -> this repo's
+                # mlt_vlps layout [light][slot][chain] (light-major,
+                # slot, chain; the reference's float16 write at
+                # metropolispathtracer.ocl:528 instead stores a chain's
+                # 4 slots contiguously - [light][chain][slot] - see
+                # models/metropolis.py for the documented difference)
                 g = jax.lax.all_gather(part, axis)
                 vlps = (g.reshape(n, nlights, 4, localc, 4)
                         .transpose(1, 2, 0, 3, 4)
@@ -241,23 +262,26 @@ def render_metropolis_sharded(key, scene, width: int, height: int,
                 vlps = mlt_vlps(k, scn, n_seedpaths, mutation_rounds,
                                 quirks)
             film = film_metropolis(k, scn, width, height, local,
-                                   idx * jnp.uint32(local), spp,
+                                   off + idx * jnp.uint32(local), total,
                                    n_seedpaths, mutation_rounds, quirks,
                                    use_grid=use_grid,
+                                   grid_modifier=grid_modifier,
                                    precomputed_vlps=vlps)
             return jax.lax.psum(film, axis)
 
-        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(),),
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(), P()),
                                  out_specs=P(), check_vma=False))
 
-    return _cached(cfg, make)(key)
+    return _cached(cfg, make)(key, jnp.uint32(spp_offset))
 
 
 def render_trianglegrid_sharded(key, scene, width: int, height: int,
                                 spp: int, mesh: Mesh | None = None,
                                 cell_size_modifier: float = 3.0,
                                 quirks: Quirks = DEFAULT,
-                                max_bounces: int = MAX_BOUNCES):
+                                max_bounces: int = MAX_BOUNCES,
+                                spp_offset: int = 0,
+                                spp_total: int | None = None):
     """spp-sharded grid-accelerated render: every device builds the SAME
     triangle grid on-device (deterministic sort-based build, ops/grid.py -
     identical everywhere, no communication) and renders its sample window;
@@ -267,7 +291,7 @@ def render_trianglegrid_sharded(key, scene, width: int, height: int,
     scn = prep_scene(scene) if isinstance(scene, Scene) else scene
     if mesh is None:
         mesh = make_spp_mesh()
-    cfg = ("trianglegrid", scn.fingerprint(), width, height, spp,
+    cfg = ("trianglegrid", scn.fingerprint(), width, height, spp, spp_total,
            cell_size_modifier, quirks, max_bounces, _mesh_key(mesh))
 
     def make():
@@ -276,9 +300,9 @@ def render_trianglegrid_sharded(key, scene, width: int, height: int,
                 scn, modifier=cell_size_modifier, device=True)
             return film_trianglegrid(k, scn, grid, width, height, local,
                                      offset, total, quirks, max_bounces)
-        return jax.jit(shard_spp(film_fn, mesh, spp))
+        return jax.jit(shard_spp(film_fn, mesh, spp, spp_total=spp_total))
 
-    return _cached(cfg, make)(key)
+    return _cached(cfg, make)(key, jnp.uint32(spp_offset))
 
 
 def render_sample_parallel_sharded(key, scene, width: int, height: int,

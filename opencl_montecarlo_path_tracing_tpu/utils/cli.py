@@ -155,9 +155,12 @@ def _staged_vlp_render(timer, key, scene, w, h, spp, quirks, kind,
                      items=w * h, item_label="pixels", data_size=w * h * 4)
 
 
-def _sharded_cli_render(ns, timer, key, scene, w, h, quirks, pos):
+def _sharded_cli_render(ns, timer, key, scene, w, h, quirks, pos, seed=0):
     """--shard dispatch to the parallel/mesh.py renderers (beyond the
     reference surface: the reference is single-device, ocl_boiler.h:150).
+    Composes with --checkpoint for the 1-D spp-sharded variants (each
+    window is rendered by the sharded program; the traced spp_offset means
+    all windows share one compile).
     Returns (film, img); (None, None) after printing an error."""
     import jax
     from .. import parallel as par
@@ -186,6 +189,11 @@ def _sharded_cli_render(ns, timer, key, scene, w, h, quirks, pos):
         print(f"error: 2-D --shard is not supported for {v} "
               "(use the 1-D N form)", file=sys.stderr)
         return None, None
+    if ns.checkpoint and (two_d or v == "nodof"):
+        print("error: --checkpoint composes with the 1-D spp-sharded "
+              f"--shard forms only (not {'2-D meshes' if two_d else v})",
+              file=sys.stderr)
+        return None, None
     label = f"rendering (sharded {ns.shard})"
     try:
         if v == "nodof":
@@ -199,27 +207,34 @@ def _sharded_cli_render(ns, timer, key, scene, w, h, quirks, pos):
                 data_size=w * h * 64 * 16)
             return None, np.asarray(img)
         mesh = par.make_mesh_2d(ry, sp) if two_d else par.make_spp_mesh(n)
+        # each variant becomes a window function (step, offset, total) so
+        # the plain render (one full window) and --checkpoint (resumable
+        # windows) share one dispatch
         if v in ("super", "superlmem"):
-            fn = (lambda: par.render_super_sharded_2d(
-                      key, scene, w, h, spp, mesh, quirks)) if two_d else \
-                 (lambda: par.render_super_sharded(
-                      key, scene, w, h, spp, mesh, quirks))
+            if two_d:
+                fn = lambda: par.render_super_sharded_2d(
+                    key, scene, w, h, spp, mesh, quirks)
+            else:
+                winfn = lambda s, off, tot: par.render_super_sharded(
+                    key, scene, w, h, s, mesh, quirks,
+                    spp_offset=off, spp_total=tot)
         elif v == "simple":
-            fn = lambda: par.render_simple_sharded(key, w, h, spp, mesh,
-                                                   quirks)
+            winfn = lambda s, off, tot: par.render_simple_sharded(
+                key, w, h, s, mesh, quirks, spp_offset=off, spp_total=tot)
         elif v == "trianglegrid":
             mod = _positional(pos, 2, 3.0, float)
-            fn = lambda: par.render_trianglegrid_sharded(
-                key, scene, w, h, spp, mesh, cell_size_modifier=mod,
-                quirks=quirks)
+            winfn = lambda s, off, tot: par.render_trianglegrid_sharded(
+                key, scene, w, h, s, mesh, cell_size_modifier=mod,
+                quirks=quirks, spp_offset=off, spp_total=tot)
         elif v == "bidirectional":
             n_vlp = _positional(pos, 2, 512)
-            fn = (lambda: render_bidirectional_sharded_2d(
-                      key, scene, w, h, spp, mesh, n_vlp=n_vlp,
-                      quirks=quirks)) if two_d else \
-                 (lambda: par.render_bidirectional_sharded(
-                      key, scene, w, h, spp, mesh, n_vlp=n_vlp,
-                      quirks=quirks))
+            if two_d:
+                fn = lambda: render_bidirectional_sharded_2d(
+                    key, scene, w, h, spp, mesh, n_vlp=n_vlp, quirks=quirks)
+            else:
+                winfn = lambda s, off, tot: par.render_bidirectional_sharded(
+                    key, scene, w, h, s, mesh, n_vlp=n_vlp, quirks=quirks,
+                    spp_offset=off, spp_total=tot)
         else:   # metropolis / metropolis_vlpgrid
             n_seed = _positional(pos, 2, 512)
             rounds = _positional(pos, 3, 8)
@@ -227,10 +242,28 @@ def _sharded_cli_render(ns, timer, key, scene, w, h, quirks, pos):
             use_grid = v.endswith("vlpgrid")
             kw = dict(n_seedpaths=n_seed, mutation_rounds=rounds,
                       quirks=quirks, use_grid=use_grid, grid_modifier=mod)
-            fn = (lambda: render_metropolis_sharded_2d(
-                      key, scene, w, h, spp, mesh, **kw)) if two_d else \
-                 (lambda: par.render_metropolis_sharded(
-                      key, scene, w, h, spp, mesh, **kw))
+            if two_d:
+                fn = lambda: render_metropolis_sharded_2d(
+                    key, scene, w, h, spp, mesh, **kw)
+            else:
+                winfn = lambda s, off, tot: par.render_metropolis_sharded(
+                    key, scene, w, h, s, mesh, spp_offset=off,
+                    spp_total=tot, **kw)
+        if ns.checkpoint:
+            from .checkpoint import render_resumable
+            t0 = time.perf_counter()
+            ck = render_resumable(
+                lambda k, s_, ww, hh, spp, spp_offset, spp_total:
+                    winfn(spp, spp_offset, spp_total),
+                key, scene, w, h, ns.spp, checkpoint_path=ns.checkpoint,
+                spp_per_step=ns.spp_per_step, seed=seed)
+            timer.record(f"{label} (checkpointed, {ck.spp_done} spp)",
+                         (time.perf_counter() - t0) * 1e3,
+                         items=w * h, item_label="pixels",
+                         data_size=w * h * 4)
+            return ck.film, None
+        if not two_d:
+            fn = lambda: winfn(spp, 0, None)
         film = timer.run(label, fn, items=w * h, item_label="pixels",
                          data_size=w * h * 4)
         return film, None
@@ -276,8 +309,8 @@ def main(argv=None):
                          "mesh (super/bidirectional/metropolis[_vlpgrid]; "
                          "other variants support the 1-D form).  The VLP "
                          "variants shard their light pass too.  Requires "
-                         "enough JAX devices; incompatible with "
-                         "--checkpoint/--profile-stages")
+                         "enough JAX devices; composes with --checkpoint "
+                         "(1-D forms); incompatible with --profile-stages")
     ap.add_argument("--dynamic-grid-res", action="store_true",
                     help="metropolis_vlpgrid only: derive the VLP grid "
                          "resolution from the reduced bounding box with "
@@ -354,15 +387,15 @@ def main(argv=None):
                          data_size=w * h * 4)
             return ck.film
 
-        if ns.shard and (ns.checkpoint or ns.profile_stages):
-            print("error: --shard is incompatible with --checkpoint / "
-                  "--profile-stages", file=sys.stderr)
+        if ns.shard and (ns.profile_stages or ns.dynamic_grid_res):
+            print("error: --shard is incompatible with "
+                  "--profile-stages / --dynamic-grid-res", file=sys.stderr)
             return 1
         if ns.variant == "simple":
             from ..models.simple import render_simple
             if ns.shard:
                 film, _ = _sharded_cli_render(ns, timer, key, None, w, h,
-                                              quirks, pos)
+                                              quirks, pos, seed=seed)
                 if film is None:
                     return 1
             else:
@@ -387,7 +420,7 @@ def main(argv=None):
             print(f"Number of lights: {scene.n_lights}")
             if ns.shard:
                 film, img = _sharded_cli_render(ns, timer, key, scene, w, h,
-                                                quirks, pos)
+                                                quirks, pos, seed=seed)
                 if film is None and img is None:
                     return 1
             elif ns.variant in ("super", "superlmem"):

@@ -235,8 +235,43 @@ def test_cli_shard_errors(tmp_path):
                  scene_dir, "--shard", "8"], cwd=str(tmp_path),
                 extra_env=env)
     assert r.returncode == 1 and "--shard 8" in r.stderr
-    # incompatible with --checkpoint
-    r = run_cli(["super", "16", "16", "--scene-dir", scene_dir,
-                 "--shard", "8", "--checkpoint", str(tmp_path / "ck.npz")],
+    # --checkpoint composes with 1-D --shard only, not 2-D meshes
+    r = run_cli(["super", "16", "16", "--spp", "8", "--scene-dir",
+                 scene_dir, "--shard", "4x2",
+                 "--checkpoint", str(tmp_path / "ck.npz")],
                 cwd=str(tmp_path), extra_env=env)
+    assert r.returncode == 1 and "1-D spp-sharded" in r.stderr
+    # --dynamic-grid-res needs the single-device pipeline
+    r = run_cli(["metropolis_vlpgrid", "16", "16", "--spp", "8",
+                 "--scene-dir", scene_dir, "--shard", "8",
+                 "--dynamic-grid-res"], cwd=str(tmp_path), extra_env=env)
     assert r.returncode == 1 and "incompatible" in r.stderr
+
+
+def test_cli_shard_checkpoint_resume(tmp_path):
+    """--checkpoint + --shard N (round-5): the sharded render accumulates
+    in checkpointed windows, resumes to the same image, and matches the
+    unsharded checkpointed render."""
+    scene_dir = os.path.join(REFERENCE_DIR, "CLSuperPathTracer")
+    env = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    ck = str(tmp_path / "film.npz")
+    args = ["super", "16", "16", "--spp", "8", "--seed", "5",
+            "--scene-dir", scene_dir, "--shard", "4",
+            "--checkpoint", ck, "--spp-per-step", "4"]
+    r = run_cli(args, cwd=str(tmp_path), extra_env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "checkpointed, 8 spp" in r.stdout
+    img1 = pam.load_pam(str(tmp_path / "result.ppm")).data.copy()
+    # re-run: resumes (no-op) and writes the same image
+    r = run_cli(args, cwd=str(tmp_path), extra_env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    np.testing.assert_array_equal(
+        img1, pam.load_pam(str(tmp_path / "result.ppm")).data)
+    # equals the unsharded checkpointed render up to quantisation
+    r = run_cli(["super", "16", "16", "--spp", "8", "--seed", "5",
+                 "--scene-dir", scene_dir, "--checkpoint",
+                 str(tmp_path / "film1.npz"), "--spp-per-step", "4",
+                 "--out", "plain.ppm"], cwd=str(tmp_path), extra_env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    img3 = pam.load_pam(str(tmp_path / "plain.ppm")).data
+    np.testing.assert_allclose(img1.astype(int), img3.astype(int), atol=1)

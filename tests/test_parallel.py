@@ -121,6 +121,43 @@ def test_sharded_metropolis_grid_mode_matches_single():
     np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-3)
 
 
+def test_sharded_metropolis_forwards_grid_modifier(monkeypatch):
+    """A non-default CELL_SIZE_MODIFIER (the vlpgrid CLI positional,
+    .c:433) must reach the sharded render's film_metropolis — regression
+    test for the round-4 advisor finding (grid_modifier was accepted and
+    cache-keyed by render_metropolis_sharded but silently dropped, so
+    sharded vlpgrid CLI renders used the default 3.0).  The film itself
+    cannot distinguish modifiers at test scale (the live-VLP radii
+    16*sqrt(I) cover the whole grid box), so this spies on the kwarg at
+    trace time for BOTH the 1-D and the 2-D sharded renderers."""
+    import opencl_montecarlo_path_tracing_tpu.models.metropolis as mltmod
+    from opencl_montecarlo_path_tracing_tpu.parallel.mesh import (
+        make_mesh_2d, render_metropolis_sharded,
+        render_metropolis_sharded_2d,
+    )
+    scene = small_scene()
+    key = make_key(41)
+    seen = []
+    orig = mltmod.film_metropolis
+
+    def spy(*a, **kw):
+        seen.append(kw.get("grid_modifier", 3.0))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mltmod, "film_metropolis", spy)
+    kw = dict(n_seedpaths=16, mutation_rounds=2, use_grid=True,
+              grid_modifier=7.5)
+    f = np.asarray(render_metropolis_sharded(
+        key, scene, 8, 8, 4, make_spp_mesh(2), **kw))
+    assert np.isfinite(f).all()
+    assert seen and all(m == 7.5 for m in seen)
+    seen.clear()
+    f = np.asarray(render_metropolis_sharded_2d(
+        key, scene, 8, 8, 4, make_mesh_2d(2, 2), **kw))
+    assert np.isfinite(f).all()
+    assert seen and all(m == 7.5 for m in seen)
+
+
 def test_emit_vlps_window_bitexact():
     """The lightTracer work-item window [gi0, gi0+count) emits rows
     bit-identical to the same rows of the full emission (draws key on
