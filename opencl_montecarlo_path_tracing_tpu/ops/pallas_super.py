@@ -118,6 +118,12 @@ _PARITY = np.uint32(0x1BD11BDA)
 # repetition, which made the interpret megakernel tests minutes-slow.
 # The two forms run the identical body in the identical order.
 _UNROLL_STEPS_MAX = 16
+
+_DIAG_SPLIT = ""   # diagnostic cost-split knob (tools/diag_prepass_split
+                   # .py patches it): "noscan" keeps the flag prepass +
+                   # take-list build but skips the taken-block scans;
+                   # "noblocks" skips the whole blocked stage.  Films are
+                   # WRONG under either - never set outside diagnostics.
 _UNROLL = True   # toggled off by film_super_mega(interpret=True)
 
 
@@ -912,8 +918,12 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
         _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t, occ_tl, carry,
                      b0, bn)
         cnt = _take_list(tri, b0, bn)
+        if _DIAG_SPLIT == "noscan":
+            return carry
         return jax.lax.fori_loop(0, cnt, scan, carry)
 
+    if _DIAG_SPLIT == "noblocks":
+        return carry
     return _seg_loop(tri, seg_body, carry)
 
 
@@ -977,8 +987,12 @@ def _closest_blocked_stacked(tri, so3, sd3, B: int, neg_t: bool, scar):
                    for k in range(B)]
         _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
+        if _DIAG_SPLIT == "noscan":
+            return scar
         return jax.lax.fori_loop(0, cnt, scan, scar)
 
+    if _DIAG_SPLIT == "noblocks":
+        return scar
     return _seg_loop(tri, seg_body, scar)
 
 
@@ -1243,8 +1257,12 @@ def _occ_blocked_stacked(tri, so3, sd3, stl, B: int, neg_t: bool, socc,
                    for k in range(B)]
         _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
         cnt = _take_list(tri, b0, bn)
+        if _DIAG_SPLIT == "noscan":
+            return socc
         return jax.lax.fori_loop(0, cnt, scan, socc)
 
+    if _DIAG_SPLIT == "noblocks":
+        return socc
     return _seg_loop(tri, seg_body, socc)
 
 

@@ -1,0 +1,177 @@
+"""Frame-wide common-random-number validation (r4 VERDICT #4).
+
+The band CRN runs (tools/validate_golden.py, tests/test_crn.py) pin
+oracle-vs-TPU estimator equality on 296x16 / 128x16 content bands -
+~3% of the frame.  This tool runs ONE full 512x512 frame per integrator
+family on the real chip against the NumPy oracle consuming IDENTICAL
+threefry streams, so the residual contains no Monte-Carlo noise - it is
+estimator bias + float rounding, except at the documented razor-edge-tie
+class (~0.3% of pixels: horizon floor hits at t~1e6 and silhouette
+discriminant ties, where any two float implementations - including
+XLA-CPU vs XLA-TPU - flip whole occlusion units; docs/PERF.md).
+
+Per family it reports, on the display scale ((film/spp*64)/255):
+  - RMSE over the whole frame (tie class included)
+  - the TIE-EXCLUDED p99.5 quantile of the per-pixel max-channel
+    difference, asserted < 1e-5 (the BASELINE.json "RMSE < 1e-3"
+    criterion with two orders of margin)
+  - the frame-wide razor-edge fraction: pixels with dm > 1e-4
+    (rounding sits ~1e-7; tie flips sit ~0.1), expected <= ~0.5%
+
+Appends/replaces its section in VALIDATION.md.  Run on the real chip:
+    python tools/validate_crn_frame.py          (~6 min: oracles ~50s each)
+Exit code 1 if any family violates the quantile or tie-fraction contract.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opencl_montecarlo_path_tracing_tpu.core.rng import make_key
+from opencl_montecarlo_path_tracing_tpu.core.quirks import DEFAULT, REFERENCE
+
+REF = "/root/reference"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "VALIDATION.md")
+MARKER = "## frame-wide CRN validation (512x512, whole image)"
+
+SIZE = int(os.environ.get("PT_CRN_SIZE", "512"))
+SPP = int(os.environ.get("PT_CRN_SPP", "4"))
+
+# contract: tie-excluded p99.5 < 1e-5 on the display scale; tie fraction
+# (dm > 1e-4) under 0.6% (documented class is ~0.3%; margin for the
+# sphere-silhouette-dense simple field)
+Q = 0.995
+Q_LIMIT = 1e-5
+TIE_THRESH = 1e-4
+TIE_LIMIT = 0.006
+
+
+def stats(jx, orc, spp):
+    d = (np.asarray(jx, np.float64) - np.asarray(orc, np.float64)) \
+        / spp * 64.0 / 255.0
+    dm = np.abs(d).max(axis=-1)
+    return {
+        "rmse": float(np.sqrt((d ** 2).mean())),
+        "q": float(np.quantile(dm, Q)),
+        "max": float(dm.max()),
+        "tie_frac": float((dm > TIE_THRESH).mean()),
+    }
+
+
+def main():
+    from opencl_montecarlo_path_tracing_tpu.scene.scene import load_scene
+    from opencl_montecarlo_path_tracing_tpu.models.super import render_super
+    from opencl_montecarlo_path_tracing_tpu.models.simple import render_simple
+    from opencl_montecarlo_path_tracing_tpu.models.bidirectional import (
+        render_bidirectional)
+    from opencl_montecarlo_path_tracing_tpu.models.metropolis import (
+        render_metropolis)
+    from opencl_montecarlo_path_tracing_tpu.models.oracle import render_oracle
+    from opencl_montecarlo_path_tracing_tpu.models.oracle_super import (
+        render_oracle_super)
+    from opencl_montecarlo_path_tracing_tpu.models.oracle_bpt import (
+        render_oracle_bpt)
+    from opencl_montecarlo_path_tracing_tpu.models.oracle_mlt import (
+        render_oracle_mlt)
+    import jax
+
+    scene = load_scene(os.path.join(REF, "CLSuperPathTracer"))
+    ck = make_key(4242)
+    S, spp = SIZE, SPP
+    rows = []
+
+    def run(name, tpu_fn, oracle_fn):
+        t0 = time.time()
+        jx = np.asarray(tpu_fn())
+        t_tpu = time.time() - t0
+        t0 = time.time()
+        orc = oracle_fn()
+        t_orc = time.time() - t0
+        st = stats(jx, orc, spp)
+        st.update(name=name, t_tpu=t_tpu, t_orc=t_orc)
+        rows.append(st)
+        print(f"{name}: rmse {st['rmse']:.3e} p{Q*100:.1f} {st['q']:.3e} "
+              f"max {st['max']:.3e} ties {st['tie_frac']*100:.3f}% "
+              f"(tpu {t_tpu:.0f}s oracle {t_orc:.0f}s)", flush=True)
+
+    run("super (intended math)",
+        lambda: render_super(ck, scene, S, S, spp=spp),
+        lambda: render_oracle_super(scene, S, S, spp=spp, key=ck))
+    run("super (quirks=reference)",
+        lambda: render_super(ck, scene, S, S, spp=spp, quirks=REFERENCE),
+        lambda: render_oracle_super(scene, S, S, spp=spp, key=ck,
+                                    quirks=REFERENCE))
+    run("simple (5-bounce mirrors)",
+        lambda: render_simple(ck, S, S, spp=spp, max_bounces=5),
+        lambda: render_oracle(S, S, spp=spp, key=ck, max_depth=5))
+    run("bidirectional nvlp=128",
+        lambda: render_bidirectional(ck, scene, S, S, spp=spp, n_vlp=128),
+        lambda: render_oracle_bpt(scene, S, S, spp=spp, n_vlp=128, key=ck))
+    run("metropolis 16 chains x 2 rounds",
+        lambda: render_metropolis(ck, scene, S, S, spp=spp, n_seedpaths=16,
+                                  mutation_rounds=2),
+        lambda: render_oracle_mlt(scene, S, S, spp=spp, n_seedpaths=16,
+                                  mutation_rounds=2, key=ck))
+
+    backend = jax.default_backend()
+    lines = [
+        MARKER,
+        "",
+        f"Generated by tools/validate_crn_frame.py (backend={backend}, "
+        f"{S}x{S}, {spp} spp, common threefry streams - no MC noise in "
+        "the residual).",
+        "",
+        f"Contract: tie-excluded p{Q*100:.1f} < {Q_LIMIT:.0e} on the "
+        f"display scale; razor-edge fraction (dm > {TIE_THRESH:.0e}) "
+        f"< {TIE_LIMIT*100:.1f}% frame-wide.",
+        "",
+        f"| family | RMSE | p{Q*100:.1f} (tie-excl) | max | tie pixels |",
+        "|---|---|---|---|---|",
+    ]
+    ok = True
+    for st in rows:
+        good = st["q"] < Q_LIMIT and st["tie_frac"] < TIE_LIMIT
+        ok = ok and good
+        lines.append(
+            f"| {st['name']} | {st['rmse']:.3e} | {st['q']:.3e} | "
+            f"{st['max']:.3e} | {st['tie_frac']*100:.3f}% "
+            f"{'' if good else '**VIOLATION**'} |")
+    lines += [
+        "",
+        "The max column is the razor-edge tail (a discriminant within an",
+        "ulp flips a whole occlusion unit for that sample - the class that",
+        "also separates XLA-CPU from XLA-TPU, docs/PERF.md); the tie",
+        "fraction quantifies it over the WHOLE frame, converting the",
+        "band-limited <1e-3 estimator claim to the full image.",
+        "",
+    ]
+
+    # replace our section in VALIDATION.md (keep everything else)
+    try:
+        with open(OUT) as fp:
+            old = fp.read()
+    except FileNotFoundError:
+        old = ""
+    if MARKER in old:
+        pre = old[:old.index(MARKER)]
+        rest = old[old.index(MARKER):]
+        nxt = rest.find("\n## ", 1)
+        post = rest[nxt + 1:] if nxt != -1 else ""
+        new = pre + "\n".join(lines) + "\n" + post
+    else:
+        new = old.rstrip() + ("\n\n" if old else "") + "\n".join(lines) + "\n"
+    with open(OUT, "w") as fp:
+        fp.write(new)
+    print(f"wrote section to {OUT}; contract {'OK' if ok else 'VIOLATED'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
