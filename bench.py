@@ -33,55 +33,56 @@ import numpy as np
 # measured numbers (docs/BENCHMARKS.md) with ~25-40% headroom for tunnel
 # timing variance, raised as kernels improve.  Every bench row emits
 # vs_floor; a value < 1.0 is a regression and fails the run.
+# Round-5 recalibration (r4 VERDICT weak #4): every floor sits at the
+# stated 25-40% headroom under the most recent CLEAN measurement, where
+# "clean" means the best of interleaved same-session runs (congestion
+# dips of 15-35% below the clean band were observed on the same day for
+# several rows and are inside the headroom by construction).
 FLOORS = {
-    "super": 200.0,          # north star 100; measured 306-310 r3 after the
-                             # post-stacking G=1 re-sweep (238-290 r2; tunnel
-                             # contention swings single runs ~25-40% - the
-                             # floor guards the 135 XLA cliff and the G=4
-                             # regression class at ~247)
-    "simple": 120.0,         # measured 177 r3 (G=2 re-sweep; 141-172 r2)
-    "nodof": 80.0,           # measured 167 r3 (routes through the G=1 super
-                             # megakernel; 70-124 r2)
-    "bidirectional": 150.0,  # measured 224 r3 (G=1 VLP kernel; 149-201 r2)
-    "metropolis": 110.0,     # measured 175 r3 (128-163 r2)
-    "metropolis_vlpgrid": 100.0,  # measured 173 r3 (122-172 r2)
-    "trianglegrid": 10.0,    # measured 17.9-18.1 (megakernel route; the
-                             # forced-DDA path is 0.2, accel="dda")
-    # stress rows (round 3).  These per-call rows at 512^2 x 4 carry
-    # only ~1M paths, so the tunnel's blocking-call overhead (measured
-    # 27 ms on a good day, ~200 ms on a congested one) dominates the
-    # denominator - floors leave room for a bad tunnel day, and the
-    # kernel-throughput story lives in the amortized sweep
+    "super": 220.0,          # north star 100; measured 304 r4 / 306-310 r3
+                             # (clean band stable across rounds); floor
+                             # guards the 135 XLA cliff and the ~247 G=4
+                             # regression class
+    "simple": 130.0,         # measured 177 r3 / 161 on a congested r5
+                             # window (G=2 re-sweep; 141-172 r2)
+    "nodof": 110.0,          # measured 167 r3 / 145 congested r5 (routes
+                             # through the G=1 super megakernel)
+    "bidirectional": 145.0,  # clean 191-198 r5 (15 interleaved runs; dips
+                             # to 145-152 congested), 224 on r3's day
+    "metropolis": 120.0,     # measured 175 r3 / 160 r4
+    "metropolis_vlpgrid": 115.0,  # clean 155-161 r5 (the r4 137.3 was a
+                             # congested sample - 15-run interleaved A/B
+                             # vs r3 HEAD shows no code regression,
+                             # docs/ROUND5.md #5); dips to ~130
+    "trianglegrid": 14.0,    # NEW ROW (round 5): 20k visible sheet at
+                             # 512^2 x 64 through the accel route -
+                             # measured 21.1 (spp=64) / 24.6 (spp=256);
+                             # the old 256^2x16 reference-scene row
+                             # measured only tunnel call overhead (17.9)
+    # stress rows at 512^2 x 4 carry only ~1M paths, so the tunnel's
+    # blocking-call overhead (27-200 ms) still colors the denominator;
+    # the kernel-throughput story lives in the amortized sweep
     # (tools/bench_largemesh_sweep.py, docs/PERF.md scaling table):
-    "super_largemesh": 2.2,  # 20736-tri VISIBLE ripple sheet at 512^2:
-                             # take-list blocked scan.  Round 4 replaced
-                             # the dense torus, whose triangles fell
-                             # under the reference det cutoff and never
-                             # shaded (docs/PERF.md) - the visible mesh
-                             # costs real closest-hit work in almost
-                             # every tile: measured per-call 3.44 (the
-                             # torus-era culling-only rows ran 4.9-8.6)
-    "bidirectional_dense": 80.0,  # ~100%-live VLP table (compaction OFF
-                             # the table): the uncompacted-gather regime.
-                             # The G=1 re-sweep lifted it from the 20-80
-                             # class to 216 (the stacked tall gather
-                             # amortizes dense rows as well as live-few)
-    "super_stream": 1.3,     # 262144-tri VISIBLE ripple sheet (past the
+    "super_largemesh": 4.0,  # 20736-tri VISIBLE ripple sheet at 512^2:
+                             # take-list blocked scan; measured 6.41 r4 +
+                             # 6.36 r5 (driver + interleaved), one 3.44
+                             # congested r4 sample documented - the floor
+                             # tolerates a 37% dip off the 6.4 band
+    "bidirectional_dense": 145.0,  # ~100%-live VLP table (compaction OFF
+                             # the table): measured 204 r4 / 216 r3
+    "super_stream": 1.5,     # 262144-tri VISIBLE ripple sheet (past the
                              # reference's MAX_TRIANGLES 65536):
                              # interval-stream tier with exact flag
-                             # refinement; measured per-call 1.80-2.81
-                             # round 4 on the visible mesh in one day
-                             # (the lit winding adds real shadow work;
-                             # torus-era culling-only rows ran 1.7-5.5
-                             # across a 2x tunnel swing)
-    "super_sharded": 180.0,  # render_super_sharded on a 1-device mesh at
+                             # refinement; measured 2.97 r4 driver,
+                             # 1.80-2.81 r4 band, 1.96 r5
+    "super_sharded": 215.0,  # render_super_sharded on a 1-device mesh at
                              # the headline config: the Pallas-megakernel +
                              # shard_map + psum + traced-spp-offset
                              # composition measured ON HARDWARE every round
                              # (VERDICT round 2 weak #5).  Sharding adds no
-                             # measurable overhead (measured 307.8 vs the
-                             # unsharded row's 309.5, r3); the lower floor
-                             # only covers the extra psum/dispatch risk
+                             # measurable overhead (303.3 vs 304.0 r4); the
+                             # slightly lower floor only covers the extra
+                             # psum/dispatch risk
 }
 
 # standard (size, spp) per row - the docs/BENCHMARKS.md rows.  Insertion

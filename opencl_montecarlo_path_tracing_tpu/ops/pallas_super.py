@@ -524,6 +524,76 @@ def _interval_union_flags(tri, bundles, neg_t: bool, b0=0):
     cp.wait()
 
 
+def _segment_pregate(tri, bundles, neg_t: bool):
+    """SEGMENT PRE-GATE (round 5): one sign-split interval test of every
+    bundle against the n_seg SEGMENT boxes (each the union of its blocks'
+    AABBs - host build in film_super_mega), bits packed into SMEM -
+    segments no bundle can touch then skip their ENTIRE per-segment
+    prepass (gate-table DMA + sign-split interval tests + exact
+    refinement + take-list group walk) in _prepass_take_gated.
+
+    Soundness across the scan: a bundle that exact-takes a block at
+    segment s also passes this test - the t bound only TIGHTENS from the
+    entry carry used here, the occ gate only SHRINKS, the segment box
+    contains the block's AABB, and _interval_test's outward slack means
+    f32 rounding can only keep a bit.  So no taken block's segment is
+    ever skipped and the film is bit-identical.
+
+    Motivation: at 1M triangles the per-segment prepass machinery
+    measured 45.7% of the frame (tools/diag_prepass_split.py), mostly
+    per-segment FIXED cost x 8 segments x 4 prepasses - while primary
+    tile frusta are narrow and shadow bundles anchor near the mesh, so
+    most (bundle, segment) pairs are provably empty."""
+    segiv = tri["segiv"]
+    comp = tuple(segiv[pl.ds(c * _IGRP, _IGRP), :] for c in range(6))
+    zero = np.float32(0.0)
+    acc = None
+    for b in bundles:
+        gate = b["gate"]
+        hit = None
+        for a in range(3):
+            da = b["d"][a]
+            pos = da > zero
+            ha = None
+            for half in (pos, ~pos):
+                g = half if gate is None else (gate & half)
+                h = _interval_test(comp, tuple(b["o"]), tuple(b["d"]),
+                                   b["thi"], b.get("tlo"), g, neg_t)
+                ha = h if ha is None else ha | h
+            hit = ha if hit is None else hit & ha
+        acc = hit if acc is None else acc | hit
+    flags = acc.astype(jnp.int32)
+    sh = jax.lax.broadcasted_iota(jnp.int32, flags.shape, 0)
+    bits = jnp.sum(flags << sh, axis=0, keepdims=True)   # (1, lanes)
+    tri["segm_v"][...] = bits
+    cp = pltpu.make_async_copy(tri["segm_v"], tri["segm_s"],
+                               tri["segsem"])
+    cp.start()
+    cp.wait()
+
+
+def _prepass_take_gated(tri, b0, bn, prepass_fn):
+    """Run ``prepass_fn()`` + the take-list build for segment
+    [b0, b0+bn) and return the taken count - or skip BOTH at zero cost
+    when the segment pre-gate proved no bundle touches the segment box
+    (multi-segment streams with ``segiv``; everything else passes
+    through unchanged)."""
+    if "segm_s" not in tri:
+        prepass_fn()
+        return _take_list(tri, b0, bn)
+    s = b0 // _SEG
+    g = s // _IGRP
+    u = s - g * _IGRP
+    tri["cnt"][0, 0] = jnp.int32(0)
+
+    def _run():
+        prepass_fn()
+        _take_list(tri, b0, bn)
+
+    pl.when(((tri["segm_s"][0, g] >> u) & 1) != 0)(_run)
+    return tri["cnt"][0, 0]
+
+
 def _group_chunks(b0: int, bn: int):
     """Static (group, u0, u1) spans covering blocks [b0, b0+bn) chunked
     at _IGRP-group boundaries (segment starts need not be aligned)."""
@@ -915,15 +985,27 @@ def _tri_scan_blocked(tri, ox, oy, oz, dx, dy, dz, neg_t: bool, occ_tl,
         return _static_fori(_TRI_BLOCK // _TRI_UNROLL, rows, carry)
 
     def seg_body(b0, bn, carry):
-        _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t, occ_tl, carry,
-                     b0, bn)
-        cnt = _take_list(tri, b0, bn)
+        cnt = _prepass_take_gated(
+            tri, b0, bn,
+            lambda: _block_flags(tri, ox, oy, oz, dx, dy, dz, neg_t,
+                                 occ_tl, carry, b0, bn))
         if _DIAG_SPLIT == "noscan":
             return carry
         return jax.lax.fori_loop(0, cnt, scan, carry)
 
     if _DIAG_SPLIT == "noblocks":
         return carry
+    if "segiv" in tri:
+        # entry-carry bundle for the segment pre-gate (sound for every
+        # later segment: the carry only tightens - _segment_pregate)
+        if occ_tl is None:
+            thi0 = None if neg_t else carry[0] / carry[1]
+            gate0 = None
+        else:
+            thi0 = None if neg_t else occ_tl
+            gate0 = carry == 0
+        _segment_pregate(tri, [{"o": (ox, oy, oz), "d": (dx, dy, dz),
+                                "thi": thi0, "gate": gate0}], neg_t)
     return _seg_loop(tri, seg_body, carry)
 
 
@@ -985,14 +1067,25 @@ def _closest_blocked_stacked(tri, so3, sd3, B: int, neg_t: bool, scar):
                     bsl(scar[0], k) / bsl(scar[1], k),
                     "gate": None}
                    for k in range(B)]
-        _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
-        cnt = _take_list(tri, b0, bn)
+        cnt = _prepass_take_gated(
+            tri, b0, bn,
+            lambda: _flag_prepass(tri, box_test, bundles, neg_t, b0, bn))
         if _DIAG_SPLIT == "noscan":
             return scar
         return jax.lax.fori_loop(0, cnt, scan, scar)
 
     if _DIAG_SPLIT == "noblocks":
         return scar
+    if "segiv" in tri:
+        # entry-carry bundles for the segment pre-gate (the per-bundle
+        # bn/bd only tightens across segments - _segment_pregate)
+        pre = [{"o": tuple(bsl(v, k) for v in so3),
+                "d": tuple(bsl(v, k) for v in sd3),
+                "thi": None if neg_t else
+                bsl(scar[0], k) / bsl(scar[1], k),
+                "gate": None}
+               for k in range(B)]
+        _segment_pregate(tri, pre, neg_t)
     return _seg_loop(tri, seg_body, scar)
 
 
@@ -1255,14 +1348,26 @@ def _occ_blocked_stacked(tri, so3, sd3, stl, B: int, neg_t: bool, socc,
                     (stl if isinstance(stl, np.floating) else bsl(stl, k)),
                     "gate": bsl(sgate, k), "tlo": tlo}
                    for k in range(B)]
-        _flag_prepass(tri, box_test, bundles, neg_t, b0, bn)
-        cnt = _take_list(tri, b0, bn)
+        cnt = _prepass_take_gated(
+            tri, b0, bn,
+            lambda: _flag_prepass(tri, box_test, bundles, neg_t, b0, bn))
         if _DIAG_SPLIT == "noscan":
             return socc
         return jax.lax.fori_loop(0, cnt, scan, socc)
 
     if _DIAG_SPLIT == "noblocks":
         return socc
+    if "segiv" in tri:
+        # entry-state bundles for the segment pre-gate (gates only
+        # SHRINK as segments occlude rays - _segment_pregate)
+        sgate0 = (socc == 0) & skeep
+        pre = [{"o": tuple(bsl(v, k) for v in sanch),
+                "d": tuple(bsl(v, k) for v in sd3),
+                "thi": None if neg_t else
+                (stl if isinstance(stl, np.floating) else bsl(stl, k)),
+                "gate": bsl(sgate0, k), "tlo": tlo}
+               for k in range(B)]
+        _segment_pregate(tri, pre, neg_t)
     return _seg_loop(tri, seg_body, socc)
 
 
@@ -1436,6 +1541,7 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
         it = list(refs)
         aabb_iv, tbl_any = it.pop(0), it.pop(0)
         aabbT = it.pop(0) if stream_refine else None
+        segiv = it.pop(0) if n_blocks > _SEG else None
         out_ref, scratch, sem, iflags_v, iflags_s, fsem, list_s, \
             cnt_s = it[:8]
         it = it[8:]
@@ -1449,10 +1555,17 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
             it = it[2:]
             tri.update(aiv_v=aiv_v, aivsem=aivsem)
         if stream_refine:
-            asmem, asem, flag_mat, flags_v, flags_s, fsem2 = it
+            asmem, asem, flag_mat, flags_v, flags_s, fsem2 = it[:6]
+            it = it[6:]
             tri.update(aabbT=aabbT, asmem=asmem, asem=asem,
                        flag_mat=flag_mat, flags_v=flags_v,
                        flags_s=flags_s, fsem2=fsem2)
+        if n_blocks > _SEG:
+            # segment pre-gate table + mask buffers (round 5:
+            # _segment_pregate; multi-segment streams only)
+            segm_v, segm_s, segsem = it
+            tri.update(segiv=segiv, segm_v=segm_v, segm_s=segm_s,
+                       segsem=segsem)
     elif n_blocks:
         aabb_ref, aabb_iv, tbl_any, out_ref, scratch, sem, flag_mat, \
             flags_v, flags_s, list_s, fsem, iflags_v, iflags_s, \
@@ -2006,6 +2119,39 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
                     pltpu.VMEM((128, 128), jnp.int32),
                     pltpu.VMEM((segf, 1), jnp.int32),
                     pltpu.SMEM((segf, 1), jnp.int32),
+                    pltpu.SemaphoreType.DMA]
+            if n_seg > 1:
+                # SEGMENT PRE-GATE (round 5, _segment_pregate): per
+                # segment the union box of its live blocks' AABBs, in
+                # the lane-major interval layout (segment s = group
+                # s//_IGRP, sublane s%_IGRP; NaN boxes past n_seg fail
+                # every sign-constrained half - their bits are never
+                # read anyway, the fori walks s < n_seg).  One interval
+                # test per trace skips missed segments' whole prepass.
+                segb = np.full((n_seg, 6), np.nan, np.float32)
+                for s in range(n_seg):
+                    blk = aabbs[s * _SEG:min((s + 1) * _SEG, n_blocks)]
+                    live = blk[:, 0] <= blk[:, 3]
+                    if live.any():
+                        segb[s, :3] = blk[live, :3].min(axis=0)
+                        segb[s, 3:] = blk[live, 3:].max(axis=0)
+                segiv_t = _aabb_interval_rows(segb)
+                # NaN out the padding entries past n_seg (the builder's
+                # inverted-box fill would read as always-hit; harmless
+                # but NaN keeps the mask clean for debugging)
+                ng_s = -(-n_seg // _IGRP)
+                segiv_t[:, ng_s:] = np.nan
+                for s in range(n_seg, ng_s * _IGRP):
+                    g, u = divmod(s, _IGRP)
+                    for c in range(6):
+                        segiv_t[c * _IGRP + u, g] = np.nan
+                tri_inputs.append(jnp.asarray(segiv_t))
+                tri_specs.append(
+                    pl.BlockSpec(segiv_t.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+                scratch_shapes += [
+                    pltpu.VMEM((1, segiv_t.shape[1]), jnp.int32),
+                    pltpu.SMEM((1, segiv_t.shape[1]), jnp.int32),
                     pltpu.SemaphoreType.DMA]
         else:
             tri_inputs = [jnp.asarray(aabbs), jnp.asarray(aabb_iv),

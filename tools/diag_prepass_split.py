@@ -58,9 +58,15 @@ SHEETS = {"20k": (144, 72), "65k": (256, 128), "262k": (512, 256),
 
 def scene_for(tag):
     base, _ = demo_scene()
+    lights = base.lights
+    if int(os.environ.get("PT_DIAG_NOLIGHTS", "0")):
+        # 0-light variant isolates the PRIMARY trace: its prepass share
+        # here bounds what an spp-loop/frame-level take-list hoist can
+        # save (shadow prepasses re-derive from the occ carry)
+        lights = np.zeros((0, 4), np.float32)
     return prep_scene(Scene(
         sphere_centers=base.sphere_centers, square_kj=base.square_kj,
-        triangles=ripple_sheet_mesh(*SHEETS[tag]), lights=base.lights))
+        triangles=ripple_sheet_mesh(*SHEETS[tag]), lights=lights))
 
 
 def make_fn(scn, mode):
