@@ -892,3 +892,39 @@ def test_vlp_megakernel_grid_outside_box_dark():
                                    quirks=DEFAULT, interpret=True,
                                    grid=grid))
     np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+
+
+def test_stream_segment_pregate_sky_window():
+    """Round 5: the SEGMENT PRE-GATE (_segment_pregate) skips a missed
+    segment's whole prepass under pl.when.  An all-sky window (the top
+    of the fixed 512^2 camera frame looks above every mesh) drives the
+    ALL-SKIPPED path end to end - every primary bundle misses every
+    segment box, so all four segments' prepasses are skipped and the
+    take counts stay 0 - and must still equal the XLA film (sky
+    gradient + floor horizon, no triangle terms).  A content window in
+    the same configuration covers the mixed skip/hit path (also pinned
+    by test_megakernel_stream_tier)."""
+    from opencl_montecarlo_path_tracing_tpu.scene.builtin import torus_mesh
+    from opencl_montecarlo_path_tracing_tpu.scene.scene import Scene
+    scn = prep_scene(Scene(
+        sphere_centers=np.zeros((0, 3), np.float32),
+        square_kj=np.zeros((0, 2), np.float32),
+        triangles=torus_mesh(center=(17.959, 4.252, 10.25),
+                             n_major=10, n_minor=6),
+        lights=np.array([[10, 4, 10, 200]], np.float32),
+    ))
+    key = make_key(77)
+    prev = M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP
+    M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = 8, 2, 4, 2
+    try:
+        assert -(-120 // M._TRI_BLOCK) > M._SEG   # multi-segment
+        for row0 in (0, 150):   # all-sky window, then content window
+            kw = dict(row_offset=row0, rows=8)
+            a = ref_film(key, scn, 40, row0 + 8, 2, **kw)
+            b = np.asarray(M.film_super_mega(key, scn, 40, row0 + 8, 2,
+                                             quirks=DEFAULT,
+                                             interpret=True,
+                                             force_stream=True, **kw))
+            np.testing.assert_allclose(b, a, rtol=0, atol=ATOL)
+    finally:
+        M._TRI_BLOCK, M._MACRO, M._SEG, M._IGRP = prev
