@@ -70,11 +70,13 @@ FLOORS = {
                              # tolerates a 37% dip off the 6.4 band
     "bidirectional_dense": 145.0,  # ~100%-live VLP table (compaction OFF
                              # the table): measured 204 r4 / 216 r3
-    "super_stream": 1.5,     # 262144-tri VISIBLE ripple sheet (past the
+    "super_stream": 1.8,     # 262144-tri VISIBLE ripple sheet (past the
                              # reference's MAX_TRIANGLES 65536):
                              # interval-stream tier with exact flag
-                             # refinement; measured 2.97 r4 driver,
-                             # 1.80-2.81 r4 band, 1.96 r5
+                             # refinement + the round-5 SEGMENT PRE-GATE
+                             # (1.20-1.24x interleaved); measured 2.81
+                             # post-gate r5 / 2.97 r4 driver / 1.96 r5
+                             # pre-gate on a congested window
     "super_sharded": 215.0,  # render_super_sharded on a 1-device mesh at
                              # the headline config: the Pallas-megakernel +
                              # shard_map + psum + traced-spp-offset
