@@ -1567,9 +1567,13 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
             tri.update(segiv=segiv, segm_v=segm_v, segm_s=segm_s,
                        segsem=segsem)
     elif n_blocks:
-        aabb_ref, aabb_iv, tbl_any, out_ref, scratch, sem, flag_mat, \
-            flags_v, flags_s, list_s, fsem, iflags_v, iflags_s, \
-            cnt_s = refs
+        it = list(refs)
+        aabb_ref, aabb_iv, tbl_any = it[:3]
+        it = it[3:]
+        segiv = it.pop(0) if n_blocks > _SEG else None
+        out_ref, scratch, sem, flag_mat, flags_v, flags_s, list_s, \
+            fsem, iflags_v, iflags_s, cnt_s = it[:11]
+        it = it[11:]
         tri = {"mode": "blocked", "nt": nt, "aabb": aabb_ref,
                "aabb_iv": aabb_iv, "tbl": tbl_any, "scratch": scratch,
                "sem": sem, "n_blocks": n_blocks,
@@ -1577,6 +1581,12 @@ def _mega_kernel(scalars_ref, *refs, width: int, spp: int,
                "flags_v": flags_v, "flags_s": flags_s, "list": list_s,
                "fsem": fsem, "iflags_v": iflags_v, "iflags_s": iflags_s,
                "cnt": cnt_s, "gbox": gbox}
+        if n_blocks > _SEG:
+            # segmented BLOCKED scans (an experimental _SEG below the
+            # 1024 production setting) get the segment pre-gate too
+            segm_v, segm_s, segsem = it
+            tri.update(segiv=segiv, segm_v=segm_v, segm_s=segm_s,
+                       segsem=segsem)
     else:
         tbl_ref, out_ref = refs
         tri = {"mode": "smem", "nt": nt, "tbl": tbl_ref}
@@ -1906,6 +1916,29 @@ def _tri_blocks(scn):
     return tblT, aabbs, aabbs_m
 
 
+def _segment_pregate_table(aabbs, n_blocks, n_seg):
+    """Host build of the SEGMENT PRE-GATE box table (_segment_pregate):
+    per segment the union box of its live blocks' AABBs, in the
+    lane-major interval layout (segment s = group s//_IGRP, sublane
+    s%_IGRP; NaN boxes past n_seg fail every sign-constrained half -
+    their bits are never read anyway, the walks stop at n_seg)."""
+    segb = np.full((n_seg, 6), np.nan, np.float32)
+    for s in range(n_seg):
+        blk = aabbs[s * _SEG:min((s + 1) * _SEG, n_blocks)]
+        live = blk[:, 0] <= blk[:, 3]
+        if live.any():
+            segb[s, :3] = blk[live, :3].min(axis=0)
+            segb[s, 3:] = blk[live, 3:].max(axis=0)
+    segiv_t = _aabb_interval_rows(segb)
+    ng_s = -(-n_seg // _IGRP)
+    segiv_t[:, ng_s:] = np.nan
+    for s in range(n_seg, ng_s * _IGRP):
+        g, u = divmod(s, _IGRP)
+        for c in range(6):
+            segiv_t[c * _IGRP + u, g] = np.nan
+    return segiv_t
+
+
 def _aabb_interval_rows(aabbs):
     """Lane-major block-AABB table for the vector interval gate:
     component c (0-2 lo.xyz, 3-5 hi.xyz) of block g*_IGRP+u lands at
@@ -2121,30 +2154,10 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
                     pltpu.SMEM((segf, 1), jnp.int32),
                     pltpu.SemaphoreType.DMA]
             if n_seg > 1:
-                # SEGMENT PRE-GATE (round 5, _segment_pregate): per
-                # segment the union box of its live blocks' AABBs, in
-                # the lane-major interval layout (segment s = group
-                # s//_IGRP, sublane s%_IGRP; NaN boxes past n_seg fail
-                # every sign-constrained half - their bits are never
-                # read anyway, the fori walks s < n_seg).  One interval
-                # test per trace skips missed segments' whole prepass.
-                segb = np.full((n_seg, 6), np.nan, np.float32)
-                for s in range(n_seg):
-                    blk = aabbs[s * _SEG:min((s + 1) * _SEG, n_blocks)]
-                    live = blk[:, 0] <= blk[:, 3]
-                    if live.any():
-                        segb[s, :3] = blk[live, :3].min(axis=0)
-                        segb[s, 3:] = blk[live, 3:].max(axis=0)
-                segiv_t = _aabb_interval_rows(segb)
-                # NaN out the padding entries past n_seg (the builder's
-                # inverted-box fill would read as always-hit; harmless
-                # but NaN keeps the mask clean for debugging)
-                ng_s = -(-n_seg // _IGRP)
-                segiv_t[:, ng_s:] = np.nan
-                for s in range(n_seg, ng_s * _IGRP):
-                    g, u = divmod(s, _IGRP)
-                    for c in range(6):
-                        segiv_t[c * _IGRP + u, g] = np.nan
+                # SEGMENT PRE-GATE (round 5, _segment_pregate): one
+                # interval test per trace skips missed segments' whole
+                # prepass
+                segiv_t = _segment_pregate_table(aabbs, n_blocks, n_seg)
                 tri_inputs.append(jnp.asarray(segiv_t))
                 tri_specs.append(
                     pl.BlockSpec(segiv_t.shape, lambda i: (0, 0),
@@ -2163,6 +2176,15 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ]
+            if n_blocks > _SEG:
+                # segmented blocked scans (experimental _SEG below the
+                # production 1024) carry the segment pre-gate too
+                n_seg_b = -(-n_blocks // _SEG)
+                segiv_t = _segment_pregate_table(aabbs, n_blocks, n_seg_b)
+                tri_inputs.append(jnp.asarray(segiv_t))
+                tri_specs.append(
+                    pl.BlockSpec(segiv_t.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
             nb_pad = -(-n_blocks // 128) * 128
             ng_pad = aabb_iv.shape[1]
             scratch_shapes = [pltpu.SMEM((16, _TRI_BLOCK), jnp.float32),
@@ -2175,6 +2197,11 @@ def film_super_mega(key, scn, width: int, height: int, spp: int,
                               pltpu.VMEM((_IGRP, ng_pad), jnp.int32),
                               pltpu.SMEM((_IGRP, ng_pad), jnp.int32),
                               pltpu.SMEM((1, 1), jnp.int32)]
+            if n_blocks > _SEG:
+                scratch_shapes += [
+                    pltpu.VMEM((1, segiv_t.shape[1]), jnp.int32),
+                    pltpu.SMEM((1, segiv_t.shape[1]), jnp.int32),
+                    pltpu.SemaphoreType.DMA]
         ntp = tblT.shape[1]
     else:
         n_blocks = 0
